@@ -1,0 +1,108 @@
+"""Plain low-rank 1-bit MLE recovery (no deep prior).
+
+Re-design of `backup/notebooks/onebit_lowrank.ipynb` cells 1 and 16:
+S, C are free factors optimized by alternating (or joint) Adam on the
+probit/logistic BCE likelihood, with periodic projection onto the feasible
+set (SVD rank-truncation of each SLF, nonnegativity clamps).  The whole
+run is one `lax.scan`, so it jit-compiles to a single XLA program and is
+vmappable over a batch of maps.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from quantized_spectrum_cartography_tpu.config import SolverConfig
+from quantized_spectrum_cartography_tpu.ops.likelihood import neg_likelihood_1bit
+from quantized_spectrum_cartography_tpu.ops.lowrank import (
+    get_tensor,
+    project_nonneg,
+    project_rank,
+    safe_fro,
+)
+from quantized_spectrum_cartography_tpu.ops.metrics import nmse
+from quantized_spectrum_cartography_tpu.solvers.base import (
+    RecoveryResult,
+    inner_steps,
+)
+
+
+def recover_lowrank_mle(
+    T_obs: jnp.ndarray,
+    S_init: jnp.ndarray,
+    C_init: jnp.ndarray,
+    cfg: SolverConfig,
+    mean: float,
+    std: float,
+    probit: bool = True,
+    mask: Optional[jnp.ndarray] = None,
+    T_true: Optional[jnp.ndarray] = None,
+    l1: float = 0.0,
+    l2: float = 0.01,
+    joint: bool = False,
+) -> RecoveryResult:
+    """Recover (S, C) from 1-bit observations T_obs in {0, 1}.
+
+    joint=False: innerIter S-steps then innerIter C-steps per outer iter
+    (onebit_lowrank.ipynb cell 1); joint=True: simultaneous single step on
+    both factors with projection every iteration (cell 16).
+    T_true (optional) enables NMSE tracking, like the notebook's `nmses`.
+    """
+    track_true = T_true is not None
+    T_ref = T_true if track_true else jnp.zeros_like(T_obs)
+
+    opt_s = optax.adam(cfg.lr_s)
+    opt_c = optax.adam(cfg.lr_s if joint else cfg.lr_c)
+
+    def cost_fn(S, C):
+        T_hat = get_tensor(S, C)
+        return (
+            neg_likelihood_1bit(T_hat, T_obs, mean, std, probit, mask=mask)
+            + l1 * safe_fro(S)
+            + l2 * safe_fro(C)
+        )
+
+    def project(S, C):
+        S = project_rank(S, cfg.rank_truncation)
+        C = project_nonneg(C)
+        if cfg.nonneg_slf:
+            S = project_nonneg(S)
+        return S, C
+
+    def outer_step(carry, i):
+        S, C, ss, cs = carry
+        if joint:
+            cost, (gS, gC) = jax.value_and_grad(cost_fn, argnums=(0, 1))(S, C)
+            uS, ss = opt_s.update(gS, ss, S)
+            uC, cs = opt_c.update(gC, cs, C)
+            S = optax.apply_updates(S, uS)
+            C = optax.apply_updates(C, uC)
+            S, C = project(S, C)
+        else:
+            S, ss, _ = inner_steps(
+                cfg.s_inner_iters, opt_s, lambda s: cost_fn(s, C), S, ss)
+            C, cs, cost = inner_steps(
+                cfg.c_inner_iters, opt_c, lambda c: cost_fn(S, c), C, cs)
+            S, C = jax.lax.cond(
+                (i + 1) % cfg.projection_interval == 0,
+                lambda sc: project(*sc),
+                lambda sc: sc,
+                (S, C),
+            )
+        err = nmse(get_tensor(S, C), T_ref) if track_true else jnp.float32(0.0)
+        return (S, C, ss, cs), (cost, err)
+
+    init = (
+        S_init,
+        C_init,
+        opt_s.init(S_init),
+        opt_c.init(C_init),
+    )
+    (S, C, _, _), (costs, nmses) = jax.lax.scan(
+        outer_step, init, jnp.arange(cfg.max_iters))
+    return RecoveryResult(
+        S=S, C=C, T_hat=get_tensor(S, C), nmses=nmses, costs=costs)
