@@ -1,0 +1,12 @@
+from quantized_spectrum_cartography_tpu.baselines.spa import (  # noqa: F401
+    column_sum_normalize,
+    nmf_spa,
+    spa_indices,
+)
+from quantized_spectrum_cartography_tpu.baselines.nnls import nnls, nnls_rows  # noqa: F401
+from quantized_spectrum_cartography_tpu.baselines.tps import tps_complete  # noqa: F401
+from quantized_spectrum_cartography_tpu.baselines.harness import (  # noqa: F401
+    best_permutation,
+    evaluate_method,
+    run_sweep,
+)

@@ -1,0 +1,98 @@
+"""Completion autoencoders: (mask || masked map) [B,51,51,2] -> map [B,51,51,1].
+
+Re-design of `deep_prior/networks/ae.py:27-216` (Encoder/Decoder with
+LeakyReLU+BN, EncoderSelu/DecoderSelu with SELU, Autoencoder wrappers) and
+the hourglass completion nets of `deep_prior/networks/adversarial_model.py`
+(EncoderDecoder family) — all collapsed into two config-driven modules.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from quantized_spectrum_cartography_tpu.models.layers import (
+    conv_torch,
+    convt_torch,
+)
+
+# Encoder conv stack (features, kernel, stride, pad): 51->25->12->6->3->1
+_ENC_STAGES: Tuple[Tuple[int, int, int, int], ...] = (
+    (16, 4, 2, 1),
+    (32, 4, 2, 1),
+    (64, 4, 2, 1),
+    (128, 4, 2, 1),
+    (256, 3, 1, 0),
+)
+# Decoder mirrors the Generator256 stack (ae.py DecoderSelu == gan.py
+# Generator256 with SELU): 1->3->6->12->26->54 -> conv k4 -> 51
+_DEC_STAGES: Tuple[Tuple[int, int, int, int], ...] = (
+    (128, 3, 1, 0),
+    (64, 4, 2, 1),
+    (32, 4, 2, 1),
+    (16, 4, 2, 0),
+    (2, 4, 2, 0),
+)
+
+
+def _act(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    return {"selu": nn.selu,
+            "leaky_relu": lambda x: nn.leaky_relu(x, 0.2),
+            "relu": nn.relu}[name]
+
+
+class Encoder(nn.Module):
+    """Conv encoder [B,51,51,nc] -> [B, latent]  (ae.py:27-66,128-160)."""
+
+    activation: str = "selu"
+    stages: Sequence[Tuple[int, int, int, int]] = _ENC_STAGES
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        act = _act(self.activation)
+        for i, (f, k, s, p) in enumerate(self.stages):
+            x = conv_torch(f, k, s, p, use_bias=False)(x)
+            if i > 0:  # first conv has no BN in the reference
+                x = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5)(x)
+            x = act(x)
+        return x.reshape(x.shape[0], -1)
+
+
+class Decoder(nn.Module):
+    """Transpose-conv decoder [B, latent] -> [B,51,51,1]  (ae.py:68-125)."""
+
+    activation: str = "selu"
+    stages: Sequence[Tuple[int, int, int, int]] = _DEC_STAGES
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        act = _act(self.activation)
+        x = z.reshape(z.shape[0], 1, 1, z.shape[-1])
+        for f, k, s, p in self.stages:
+            x = convt_torch(f, k, s, p)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5)(x)
+            x = act(x)
+        x = conv_torch(1, 4, 1, 0)(x)
+        return nn.sigmoid(x)
+
+
+class Autoencoder(nn.Module):
+    """Completion AE: masked-map channels in, full map out (ae.py:170-216).
+
+    activation='selu' gives the reference's AutoencoderSelu (the '1bit_map'
+    model behind deep_comp.py / nn_descent_ae.py); 'leaky_relu' the plain
+    Autoencoder.
+    """
+
+    activation: str = "selu"
+
+    def setup(self):
+        self.encoder = Encoder(activation=self.activation)
+        self.decoder = Decoder(activation=self.activation)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.decoder(self.encoder(x, train), train)

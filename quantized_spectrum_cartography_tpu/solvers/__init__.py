@@ -1,0 +1,15 @@
+from quantized_spectrum_cartography_tpu.solvers.base import RecoveryResult  # noqa: F401
+from quantized_spectrum_cartography_tpu.solvers.lowrank_mle import (  # noqa: F401
+    recover_lowrank_mle,
+)
+from quantized_spectrum_cartography_tpu.solvers.mle_gan import recover_mle_gan  # noqa: F401
+from quantized_spectrum_cartography_tpu.solvers.dowjons import recover_dowjons  # noqa: F401
+from quantized_spectrum_cartography_tpu.solvers.gan_inversion import (  # noqa: F401
+    init_z,
+    run_onebit_inversion,
+)
+from quantized_spectrum_cartography_tpu.solvers.dip_solver import recover_dip  # noqa: F401
+from quantized_spectrum_cartography_tpu.solvers.priors import (  # noqa: F401
+    make_generator_apply,
+    randomized_search,
+)

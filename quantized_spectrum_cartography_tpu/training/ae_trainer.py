@@ -1,0 +1,97 @@
+"""Completion-autoencoder training (the Nasdac/DeepComp prior).
+
+The reference ships trained AE checkpoints ('1bit_map' AutoencoderSelu
+driving deep_comp.py and nn_descent_ae.py) but no training script — this
+pipeline rebuilds it: masked SLF completion with MSE loss on simulator
+data, matching the SLFDataset(1bit) input convention
+(mask || masked map -> full map).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from quantized_spectrum_cartography_tpu.config import PhysicsConfig
+from quantized_spectrum_cartography_tpu.data.datasets import (
+    SLFBatchConfig,
+    make_slf_sampler,
+    mask_batch,
+)
+from quantized_spectrum_cartography_tpu.models import Autoencoder
+from quantized_spectrum_cartography_tpu.training.checkpoints import save_checkpoint
+
+
+@dataclasses.dataclass(frozen=True)
+class AETrainConfig:
+    batch_size: int = 64
+    lr: float = 1e-3
+    steps: int = 10000
+    activation: str = "selu"
+    onebit_input: bool = False   # SLFDataset1bit-style +-1 inputs
+    scale: float = 50.0          # same O(1) scaling trick as the GAN
+
+
+def train_ae(
+    key: jax.Array,
+    cfg: AETrainConfig = AETrainConfig(),
+    physics: PhysicsConfig = PhysicsConfig(),
+    checkpoint_dir: Optional[str] = None,
+    log_every: int = 200,
+    log_fn=print,
+) -> Tuple[Any, Dict[str, Any]]:
+    model = Autoencoder(activation=cfg.activation)
+    k0, key = jax.random.split(key)
+    variables = model.init(k0, jnp.zeros((1, 51, 51, 2)), train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+
+    sampler = make_slf_sampler(physics)
+    bcfg = SLFBatchConfig(batch_size=cfg.batch_size, onebit=cfg.onebit_input)
+
+    def loss_fn(params, batch_stats, inp, target):
+        out, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, inp, train=True,
+            mutable=["batch_stats"])
+        return jnp.mean(jnp.square(out - target)), mut["batch_stats"]
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, k):
+        k1, k2 = jax.random.split(k)
+        maps = sampler(k1, cfg.batch_size) * cfg.scale
+        inp, target = mask_batch(k2, maps, bcfg)
+        (loss, batch_stats), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, inp, target)
+        up, opt_state = opt.update(g, opt_state, params)
+        return optax.apply_updates(params, up), batch_stats, opt_state, loss
+
+    hist = []
+    for i in range(cfg.steps):
+        key, k = jax.random.split(key)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, k)
+        if (i + 1) % log_every == 0:
+            hist.append((i + 1, float(loss)))
+            log_fn(f"ae step {i+1}: mse {float(loss):.6f}")
+    variables = {"params": params, "batch_stats": batch_stats}
+    if checkpoint_dir:
+        save_checkpoint(f"{checkpoint_dir}/final",
+                        {**variables, "scale": cfg.scale})
+    return variables, {"metrics": hist, "scale": cfg.scale}
+
+
+def make_ae_completer(model: Autoencoder, variables, scale: float):
+    """Pure fn (mask [I,J], observed [I,J]) -> completed map [I,J] — the
+    DeepComp one-shot completion (`backup/algorithms/deep_comp.py:21-42`)."""
+
+    def complete(mask: jnp.ndarray, observed: jnp.ndarray) -> jnp.ndarray:
+        inp = jnp.stack([mask, observed * mask * scale], -1)[None]
+        out = model.apply(variables, inp, train=False)
+        return out[0, :, :, 0] / scale
+
+    return complete

@@ -1,0 +1,92 @@
+"""VAE / betaVAE training loop.
+
+Replaces the reference's pytorch-lightning scaffolding
+(`deep_prior/networks/vae.py:199-286`: configure_optimizers with
+Adam+StepLR, training/test steps, loaders) with a jitted step over
+simulator batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from quantized_spectrum_cartography_tpu.config import PhysicsConfig
+from quantized_spectrum_cartography_tpu.data.datasets import (
+    SLFBatchConfig,
+    make_slf_sampler,
+    mask_batch,
+)
+from quantized_spectrum_cartography_tpu.models import VAE
+from quantized_spectrum_cartography_tpu.training.checkpoints import save_checkpoint
+
+
+@dataclasses.dataclass(frozen=True)
+class VAETrainConfig:
+    latent_dim: int = 64
+    beta: float = 1.0
+    batch_size: int = 64
+    lr: float = 1e-3
+    lr_decay_steps: int = 2000   # StepLR equivalent (vae.py:205-208)
+    lr_decay_rate: float = 0.5
+    steps: int = 10000
+    scale: float = 50.0
+
+
+def train_vae(
+    key: jax.Array,
+    cfg: VAETrainConfig = VAETrainConfig(),
+    physics: PhysicsConfig = PhysicsConfig(),
+    checkpoint_dir: Optional[str] = None,
+    log_every: int = 200,
+    log_fn=print,
+) -> Tuple[Any, Dict[str, Any]]:
+    model = VAE(latent_dim=cfg.latent_dim, beta=cfg.beta)
+    k0, key = jax.random.split(key)
+    variables = model.init(k0, jnp.zeros((1, 51, 51, 2)),
+                           jax.random.PRNGKey(0), train=True)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    sched = optax.exponential_decay(
+        cfg.lr, cfg.lr_decay_steps, cfg.lr_decay_rate, staircase=True)
+    opt = optax.adam(sched)
+    opt_state = opt.init(params)
+
+    sampler = make_slf_sampler(physics)
+    bcfg = SLFBatchConfig(batch_size=cfg.batch_size, normalize_peak=True)
+
+    def loss_fn(params, batch_stats, inp, target, k):
+        (recon, mean, logstd), mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, inp, k,
+            train=True, mutable=["batch_stats"])
+        total, bce, kl = model.loss(recon, target, mean, logstd)
+        return total, (mut["batch_stats"], bce, kl)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        maps = sampler(k1, cfg.batch_size)
+        inp, target = mask_batch(k2, maps, bcfg)
+        (total, (batch_stats, bce, kl)), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch_stats, inp, target, k3)
+        up, opt_state = opt.update(g, opt_state, params)
+        return (optax.apply_updates(params, up), batch_stats, opt_state,
+                total, bce, kl)
+
+    hist = []
+    for i in range(cfg.steps):
+        key, k = jax.random.split(key)
+        params, batch_stats, opt_state, total, bce, kl = step(
+            params, batch_stats, opt_state, k)
+        if (i + 1) % log_every == 0:
+            hist.append((i + 1, float(total), float(bce), float(kl)))
+            log_fn(f"vae step {i+1}: loss {float(total):.4f} "
+                   f"bce {float(bce):.4f} kl {float(kl):.4f}")
+    variables = {"params": params, "batch_stats": batch_stats}
+    if checkpoint_dir:
+        save_checkpoint(f"{checkpoint_dir}/final", variables)
+    return variables, {"metrics": hist}

@@ -1,0 +1,107 @@
+"""Prior-training smoke tests (few steps, small batches, CPU) + dataset
+pipeline checks + checkpoint round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantized_spectrum_cartography_tpu.config import PhysicsConfig
+from quantized_spectrum_cartography_tpu.data.datasets import (
+    SLFBatchConfig,
+    gan_sample_batch,
+    make_slf_sampler,
+    mask_batch,
+)
+from quantized_spectrum_cartography_tpu.training import (
+    AETrainConfig,
+    GANTrainConfig,
+    VAETrainConfig,
+    load_checkpoint,
+    make_ae_completer,
+    save_checkpoint,
+    train_ae,
+    train_gan,
+    train_vae,
+)
+
+SMALL_PHYS = PhysicsConfig(grid_size=51, decorrelation_distance=30.0)
+
+
+def test_slf_sampler_batch():
+    sampler = make_slf_sampler(SMALL_PHYS)
+    S = sampler(jax.random.PRNGKey(0), 4)
+    assert S.shape == (4, 51, 51)
+    norms = np.linalg.norm(np.asarray(S).reshape(4, -1), axis=1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+
+
+def test_mask_batch_shapes_and_onebit():
+    maps = jax.random.uniform(jax.random.PRNGKey(0), (3, 51, 51)) * 0.01
+    cfg = SLFBatchConfig(batch_size=3, onebit=True, mean_slf=0.005)
+    inp, target = mask_batch(jax.random.PRNGKey(1), maps, cfg)
+    assert inp.shape == (3, 51, 51, 2)
+    assert target.shape == (3, 51, 51, 1)
+    mask = np.asarray(inp[..., 0])
+    assert set(np.unique(mask)).issubset({0.0, 1.0})
+    src = np.asarray(inp[..., 1])
+    assert set(np.unique(src)).issubset({-1.0, 0.0, 1.0})
+
+
+def test_gan_training_steps_produce_finite_losses():
+    cfg = GANTrainConfig(steps=3, batch_size=4, z_dim=64)
+    variables, diag = train_gan(
+        jax.random.PRNGKey(0), cfg, SMALL_PHYS, log_every=1,
+        log_fn=lambda *a: None)
+    assert "params" in variables and "batch_stats" in variables
+    # generator still produces valid maps after updates
+    from quantized_spectrum_cartography_tpu.models import make_generator
+    g = make_generator(64)
+    out = g.apply(variables, jnp.zeros((2, 64)), train=False)
+    assert out.shape == (2, 51, 51, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ae_training_reduces_loss():
+    cfg = AETrainConfig(steps=30, batch_size=8)
+    variables, diag = train_ae(
+        jax.random.PRNGKey(0), cfg, SMALL_PHYS, log_every=10,
+        log_fn=lambda *a: None)
+    losses = [m[1] for m in diag["metrics"]]
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 1.5  # no blow-up over 30 steps
+    # completer wrapper
+    from quantized_spectrum_cartography_tpu.models import Autoencoder
+    model = Autoencoder()
+    complete = make_ae_completer(model, variables, diag["scale"])
+    mask = jnp.ones((51, 51))
+    obs = jax.random.uniform(jax.random.PRNGKey(1), (51, 51)) * 0.01
+    out = complete(mask, obs)
+    assert out.shape == (51, 51)
+
+
+def test_vae_training_steps():
+    cfg = VAETrainConfig(steps=3, batch_size=4, latent_dim=8)
+    variables, diag = train_vae(
+        jax.random.PRNGKey(0), cfg, SMALL_PHYS, log_every=1,
+        log_fn=lambda *a: None)
+    totals = [m[1] for m in diag["metrics"]]
+    assert np.all(np.isfinite(totals))
+
+
+def test_gan_sample_batch():
+    gen = lambda z: jnp.zeros((z.shape[0], 51, 51)) + z[:, :1, None]
+    s, z = gan_sample_batch(jax.random.PRNGKey(0), gen, 5, z_dim=16)
+    assert s.shape == (5, 51, 51) and z.shape == (5, 16)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+    p = os.path.join(str(tmp_path), "ckpt")
+    save_checkpoint(p, state)
+    restored = load_checkpoint(p, target=state)
+    np.testing.assert_allclose(np.asarray(restored["w"]),
+                               np.asarray(state["w"]))
+    np.testing.assert_allclose(np.asarray(restored["b"]),
+                               np.asarray(state["b"]))
