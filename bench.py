@@ -1,0 +1,124 @@
+"""Benchmark: maps/sec for batched 1-bit 51x51x64 SLF recovery on TPU.
+
+Protocol (BASELINE.json metric "maps/sec/chip on 51x51 SLF recovery"):
+a batch of B independent full-size problems, each solved by the low-rank
+1-bit probit MLE (backup/notebooks/onebit_lowrank.ipynb semantics:
+alternating Adam, 50 outer x (5 S + 5 C) inner steps, rank/nonneg
+projection every 5 iters), vmapped + jitted on one chip.
+
+vs_baseline: ratio against a *strengthened* torch-CPU reference — the same
+algorithm with the reference's Python-loop get_tensor replaced by einsum
+(the reference's own loops are ~100x slower still; timing those would
+inflate the ratio).  Reference solver semantics per
+backup/notebooks/onebit_lowrank.ipynb cell 1.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "maps/sec", "vs_baseline": N}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BATCH = 128
+OUTER = 50
+INNER = 5
+GRID, BANDS, RANK = 51, 64, 2
+MEAN, STD = 0.0045, 0.008
+
+
+def jax_maps_per_sec() -> float:
+    import jax
+    import jax.numpy as jnp
+    from quantized_spectrum_cartography_tpu.config import (
+        PhysicsConfig, SolverConfig)
+    from quantized_spectrum_cartography_tpu.ops.quantizer import dither_probit
+    from quantized_spectrum_cartography_tpu.physics import (
+        generate_map_batch)
+    from quantized_spectrum_cartography_tpu.solvers import recover_lowrank_mle
+
+    cfg = PhysicsConfig(grid_size=GRID, num_bands=BANDS, num_emitters=RANK)
+    scfg = SolverConfig(max_iters=OUTER, s_inner_iters=INNER,
+                        c_inner_iters=INNER, lr_s=0.001, lr_c=0.001,
+                        projection_interval=5, rank_truncation=10)
+
+    T, S, C, _ = generate_map_batch(jax.random.PRNGKey(0), cfg, BATCH)
+    T_obs = dither_probit(jax.random.PRNGKey(1), T - MEAN, STD)
+    S0 = jnp.zeros((BATCH, RANK, GRID, GRID))
+    C0 = jnp.full((BATCH, RANK, BANDS), 0.01)
+
+    solve = jax.jit(jax.vmap(
+        lambda t, s, c: recover_lowrank_mle(t, s, c, scfg, MEAN, STD)))
+    # warm-up / compile
+    jax.block_until_ready(solve(T_obs, S0, C0).costs)
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        res = solve(T_obs, S0, C0)
+    jax.block_until_ready(res.costs)
+    dt = (time.time() - t0) / reps
+    return BATCH / dt
+
+
+def torch_maps_per_sec() -> float:
+    """Strengthened torch-CPU baseline: same algorithm, einsum-vectorized,
+    single map timed (the reference runs one map per notebook)."""
+    import torch
+
+    torch.manual_seed(0)
+    T_true = torch.rand(BANDS, GRID, GRID) * 0.01
+    p = 0.5 * (1 + torch.erf((T_true - MEAN) / (STD * 1.414213)))
+    T_obs = torch.bernoulli(p)
+
+    S = torch.zeros(RANK, GRID, GRID, requires_grad=True)
+    C = torch.full((RANK, BANDS), 0.01, requires_grad=True)
+    opt_s = torch.optim.Adam([S], lr=0.001)
+    opt_c = torch.optim.Adam([C], lr=0.001)
+    bce = torch.nn.BCELoss()
+
+    def cost():
+        T_hat = torch.einsum("rij,rk->kij", S, C)
+        z = 0.5 * (1 + torch.erf((T_hat - MEAN) / (STD * 1.414213)))
+        return bce(z.clamp(1e-6, 1 - 1e-6), T_obs) + \
+            0.01 * torch.norm(C, "fro")
+
+    t0 = time.time()
+    for i in range(OUTER):
+        for _ in range(INNER):
+            opt_s.zero_grad(); opt_c.zero_grad()
+            c = cost(); c.backward(); opt_s.step()
+        for _ in range(INNER):
+            opt_s.zero_grad(); opt_c.zero_grad()
+            c = cost(); c.backward(); opt_c.step()
+        if (i + 1) % 5 == 0:
+            with torch.no_grad():
+                u, s, v = torch.svd(S)
+                s[:, 10:] = 0
+                S.copy_(u @ torch.diag_embed(s) @ v.transpose(-2, -1))
+                C.clamp_(min=0)
+    dt = time.time() - t0
+    return 1.0 / dt
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    jax_rate = jax_maps_per_sec()
+    try:
+        torch_rate = torch_maps_per_sec()
+    except Exception:
+        torch_rate = float("nan")
+    out = {
+        "metric": "maps/sec, batched 1-bit 51x51x64 low-rank MLE recovery "
+                  f"(B={BATCH}, {OUTER}x2x{INNER} Adam steps, 1 chip)",
+        "value": round(jax_rate, 3),
+        "unit": "maps/sec",
+        "vs_baseline": round(jax_rate / torch_rate, 2)
+        if torch_rate == torch_rate else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+from quantized_spectrum_cartography_tpu.ops.pallas.fused_likelihood import (  # noqa: F401
+    fused_quantized_nll,
+    fused_nll_reference,
+    pack_bounds,
+    MASK_SENTINEL,
+)

@@ -1,0 +1,266 @@
+"""Fused quantized-likelihood Pallas TPU kernel.
+
+The reference's hot loop (qmc.ipynb cell 1; SURVEY.md section 3.1) per
+iteration materializes, at torch speed: the rank-R reconstruction (Python
+loops over R and K), log link, boundary gather, two erf evaluations, log,
+mask multiply, and reduction — each a separate pass over the [K, I, J]
+tensor.  This kernel computes the whole masked negative log-likelihood
+
+    nll(S, C) = -sum_k,p  log( Phi((U - x)/s) - Phi((W - x)/s) ),
+    x = log( (C @ S)[k,p] + offset )
+
+in ONE pass: the (K,R)x(R,IJ) contraction runs on the MXU and the entire
+elementwise chain + reduction stays in VMEM/VPU registers — no [K, IJ]
+intermediate ever touches HBM.  The custom VJP recomputes x (cheaper than
+storing it) and fuses the analytic gradient
+
+    d nll/dX = (phi(a) - phi(b)) / (s * P) * 1/(X + offset),
+    dS = C^T dX,  dC = dX S^T
+
+into a second single pass.  The observation mask is folded into the
+boundary tensors (W,U) = (-MASK_SENTINEL, +MASK_SENTINEL) for unobserved
+entries, which makes log P = 0 and its gradient 0 exactly — saving a
+third of the kernel's HBM traffic (no separate mask tensor).
+
+Layout: spatial dims flattened and padded to a lane multiple
+(51*51 = 2601 -> 2688 = 21*128); padding uses the same sentinel fold.
+
+On non-TPU backends the public entry point falls back to an identical
+pure-jnp implementation (also used as the parity oracle in tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quantized_spectrum_cartography_tpu.ops.likelihood import _SIGMA_EFF
+
+MASK_SENTINEL = 1e4     # |log-domain values| are < 30; +-1e4 => logP = 0
+_LOG_SQRT_2PI = 0.9189385332046727
+_HIGH = jax.lax.Precision.HIGHEST
+
+
+# --------------------------------------------------------------------------
+# numerics shared by kernel and reference path (pure jnp -> lowers in pallas)
+# --------------------------------------------------------------------------
+
+def _log_ndtr(t: jnp.ndarray) -> jnp.ndarray:
+    """Stable log Phi(t) in f32 without lax.erfc tail underflow.
+
+    t > -4:  log1p(-0.5 erfc(t/sqrt2))          (erfc well above f32 tiny)
+    t <= -4: Mills asymptotic  -t^2/2 - log(-t) - log sqrt(2pi)
+             + log(1 - 1/t^2 + 3/t^4 - 15/t^6)   (rel err < 1e-3 at t=-4)
+    """
+    tc = jnp.minimum(t, 0.0)            # t>0 handled by the erfc branch fine
+    t2 = tc * tc
+    safe_t = jnp.minimum(tc, -4.0)
+    inv2 = 1.0 / (safe_t * safe_t)
+    series = 1.0 - inv2 * (1.0 - 3.0 * inv2 * (1.0 - 5.0 * inv2))
+    asym = (-0.5 * t2 - jnp.log(-safe_t) - _LOG_SQRT_2PI
+            + jnp.log(series))
+    # Phi(t) = 0.5*(1 + erf(t/sqrt2))  =>  log Phi = log(0.5) + log1p(erf)
+    # (erf, not erfc: Pallas TPU has no erfc lowering.)  double-where:
+    # clamp the direct branch's input so its (unselected) value/grad stays
+    # finite in the deep tail — else autodiff produces 0 * inf = NaN at
+    # masked/sentinel entries.
+    t_dir = jnp.maximum(t, -4.0)
+    direct = (jnp.log1p(jax.lax.erf(t_dir * 0.7071067811865476))
+              - 0.6931471805599453)
+    return jnp.where(t <= -4.0, asym, direct)
+
+
+def _log_prob(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """log(Phi(b) - Phi(a)), b > a, stable in both tails (see
+    ops/likelihood.log_prob_probit_bounds)."""
+    flip = (a + b) > 0.0
+    lo = jnp.where(flip, -b, a)
+    hi = jnp.where(flip, -a, b)
+    l_lo = _log_ndtr(lo)
+    l_hi = _log_ndtr(hi)
+    diff = jnp.minimum(l_lo - l_hi, -1e-12)
+    return l_hi + jnp.log(-jnp.expm1(diff))
+
+
+def _dlogp_dx(a: jnp.ndarray, b: jnp.ndarray, logP: jnp.ndarray,
+              inv_s: jnp.ndarray) -> jnp.ndarray:
+    """d log P / dx = (phi(a) - phi(b)) / (s P), via exp-of-log-differences
+    so the tail ratios stay finite (each term ~ hazard rate)."""
+    log_phi_a = -0.5 * a * a - _LOG_SQRT_2PI
+    log_phi_b = -0.5 * b * b - _LOG_SQRT_2PI
+    ra = jnp.exp(jnp.minimum(log_phi_a - logP, 30.0))
+    rb = jnp.exp(jnp.minimum(log_phi_b - logP, 30.0))
+    return (ra - rb) * inv_s
+
+
+# --------------------------------------------------------------------------
+# pallas kernels
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(s_ref, c_ref, w_ref, u_ref, out_ref, *, sigma, offset):
+    inv_s = 1.0 / (sigma * _SIGMA_EFF)
+    X = jnp.dot(c_ref[:], s_ref[:], preferred_element_type=jnp.float32)
+    x = jnp.log(X + offset)
+    a = (w_ref[:] - x) * inv_s
+    b = (u_ref[:] - x) * inv_s
+    out_ref[0, 0] = -jnp.sum(_log_prob(a, b))
+
+
+def _bwd_kernel(s_ref, c_ref, w_ref, u_ref, g_ref, ds_ref, dc_ref,
+                *, sigma, offset):
+    inv_s = 1.0 / (sigma * _SIGMA_EFF)
+    S = s_ref[:]
+    C = c_ref[:]
+    X = jnp.dot(C, S, preferred_element_type=jnp.float32)
+    Xo = X + offset
+    x = jnp.log(Xo)
+    a = (w_ref[:] - x) * inv_s
+    b = (u_ref[:] - x) * inv_s
+    logP = _log_prob(a, b)
+    # nll = -sum logP  =>  d nll/dX = -(dlogP/dx) * dx/dX,  dx/dX = 1/Xo
+    dX = -g_ref[0, 0] * _dlogp_dx(a, b, logP, inv_s) / Xo
+    ds_ref[:] = jnp.dot(C.T, dX, preferred_element_type=jnp.float32)
+    dc_ref[:] = jnp.dot(dX, S.T, preferred_element_type=jnp.float32)
+
+
+def _pad_to(x: jnp.ndarray, mult: int, value: float) -> jnp.ndarray:
+    p = (-x.shape[-1]) % mult
+    if p == 0:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, p)]
+    return jnp.pad(x, pad, constant_values=value)
+
+
+def pack_bounds(
+    Y: jnp.ndarray,
+    bin_boundaries: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    lane_multiple: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Precompute (W, U) [K, IJp] for the kernel from bin indices Y [K,I,J]
+    (or already-flat [K, IJ]), folding mask and lane padding into the
+    +-MASK_SENTINEL no-op bins.  Do this ONCE per solve: Y is constant."""
+    bb = jnp.asarray(bin_boundaries, jnp.float32)
+    K = Y.shape[0]
+    Yf = Y.reshape(K, -1)
+    W = bb[Yf]
+    U = bb[Yf + 1]
+    if mask is not None:
+        mf = mask.reshape(K, -1) > 0
+        W = jnp.where(mf, W, -MASK_SENTINEL)
+        U = jnp.where(mf, U, MASK_SENTINEL)
+    W = _pad_to(W, lane_multiple, -MASK_SENTINEL)
+    U = _pad_to(U, lane_multiple, MASK_SENTINEL)
+    return W, U
+
+
+# --------------------------------------------------------------------------
+# public entry point with custom VJP
+# --------------------------------------------------------------------------
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _fwd_pallas(S_flat, C, W, U, sigma, offset, interpret):
+    K, IJp = W.shape
+    R = S_flat.shape[0]
+    nll = pl.pallas_call(
+        functools.partial(_fwd_kernel, sigma=sigma, offset=offset),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * R * IJp + 25 * K * IJp,
+            bytes_accessed=4 * (K * IJp * 2 + K * R + R * IJp),
+            transcendentals=4 * K * IJp),
+    )(S_flat, C, W, U)
+    return nll[0, 0]
+
+
+def _bwd_pallas(S_flat, C, W, U, g, sigma, offset, interpret):
+    K, IJp = W.shape
+    R = S_flat.shape[0]
+    g2 = g.reshape(1, 1).astype(jnp.float32)
+    dS, dC = pl.pallas_call(
+        functools.partial(_bwd_kernel, sigma=sigma, offset=offset),
+        out_shape=(jax.ShapeDtypeStruct((R, IJp), jnp.float32),
+                   jax.ShapeDtypeStruct((K, R), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * K * R * IJp + 30 * K * IJp,
+            bytes_accessed=4 * (K * IJp * 2 + 2 * (K * R + R * IJp)),
+            transcendentals=5 * K * IJp),
+    )(S_flat, C, W, U, g2)
+    return dS, dC
+
+
+def _nll_jnp(S_flat, C, W, U, sigma, offset):
+    inv_s = 1.0 / (sigma * _SIGMA_EFF)
+    X = jnp.matmul(C, S_flat, precision=_HIGH)
+    x = jnp.log(X + offset)
+    a = (W - x) * inv_s
+    b = (U - x) * inv_s
+    return -jnp.sum(_log_prob(a, b))
+
+
+def fused_nll_reference(S_flat, C, W, U, sigma, offset):
+    """Pure-jnp oracle with identical math (autodiff-able)."""
+    return _nll_jnp(S_flat, C, W, U, sigma, offset)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_quantized_nll(
+    S_flat: jnp.ndarray,     # [R, IJp]
+    C: jnp.ndarray,          # [K, R]
+    W: jnp.ndarray,          # [K, IJp]  from pack_bounds
+    U: jnp.ndarray,          # [K, IJp]
+    sigma: float,
+    offset: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Masked quantized-observation NLL of factors (S, C); scalar.
+
+    Differentiable in S_flat and C via the fused analytic backward pass.
+    """
+    if _use_pallas() or interpret:
+        return _fwd_pallas(S_flat, C, W, U, sigma, offset,
+                           interpret=interpret)
+    return _nll_jnp(S_flat, C, W, U, sigma, offset)
+
+
+def _vjp_fwd(S_flat, C, W, U, sigma, offset, interpret):
+    out = fused_quantized_nll(S_flat, C, W, U, sigma, offset, interpret)
+    return out, (S_flat, C, W, U)
+
+
+def _vjp_bwd(sigma, offset, interpret, res, g):
+    S_flat, C, W, U = res
+    if _use_pallas() or interpret:
+        dS, dC = _bwd_pallas(S_flat, C, W, U, g, sigma, offset,
+                             interpret=interpret)
+    else:
+        inv_s = 1.0 / (sigma * _SIGMA_EFF)
+        X = jnp.matmul(C, S_flat, precision=_HIGH)
+        Xo = X + offset
+        x = jnp.log(Xo)
+        a = (W - x) * inv_s
+        b = (U - x) * inv_s
+        logP = _log_prob(a, b)
+        dX = -g * _dlogp_dx(a, b, logP, inv_s) / Xo
+        dS = jnp.matmul(C.T, dX, precision=_HIGH)
+        dC = jnp.matmul(dX, S_flat.T, precision=_HIGH)
+    return dS, dC, None, None
+
+
+fused_quantized_nll.defvjp(_vjp_fwd, _vjp_bwd)

@@ -1,0 +1,13 @@
+from quantized_spectrum_cartography_tpu.parallel.mesh import (  # noqa: F401
+    batch_freq_sharding,
+    batch_sharding,
+    make_mesh,
+    replicated,
+)
+from quantized_spectrum_cartography_tpu.parallel.sharded_solver import (  # noqa: F401
+    batched_recover_lowrank,
+    make_sharded_mle_step,
+)
+from quantized_spectrum_cartography_tpu.parallel.scheduler import (  # noqa: F401
+    RecoveryScheduler,
+)

@@ -1,0 +1,109 @@
+"""Host-side continuous batching scheduler for map recoveries.
+
+The reference processes one map per notebook run; production serving needs
+a stream: requests arrive, get grouped into fixed-shape device batches
+(XLA-friendly — no recompilation), dispatched to the sharded solver, and
+results returned per-request.  Padding slots keep the batch shape static
+when the queue runs dry.
+
+The queue/dispatch loop is host-side (threads + a condition variable);
+device work is one jitted batched solve per cycle.  A C++ queue backend
+(runtime/cpp) can be slotted in via the same interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class _Request:
+    payload: Dict[str, np.ndarray]
+    future: Future
+
+
+class RecoveryScheduler:
+    """Continuous batching over a fixed-shape batched solver.
+
+    solver_fn: dict of stacked arrays [B, ...] -> dict of stacked results.
+    batch_size: the static device batch (pad slots replicate request 0).
+    """
+
+    def __init__(
+        self,
+        solver_fn: Callable[[Dict[str, jnp.ndarray]], Dict[str, jnp.ndarray]],
+        batch_size: int,
+        max_wait_ms: float = 50.0,
+    ):
+        self._solver = solver_fn
+        self._batch = batch_size
+        self._max_wait = max_wait_ms / 1000.0
+        self._q: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        self.batches_dispatched = 0
+        self.maps_completed = 0
+
+    def submit(self, payload: Dict[str, np.ndarray]) -> Future:
+        """Enqueue one map recovery; resolves to its result dict."""
+        f: Future = Future()
+        self._q.put(_Request(payload, f))
+        return f
+
+    def shutdown(self, wait: bool = True):
+        self._stop.set()
+        if wait:
+            self._thread.join(timeout=30)
+
+    # ------------------------------------------------------------------
+
+    def _collect(self) -> List[_Request]:
+        reqs: List[_Request] = []
+        try:
+            reqs.append(self._q.get(timeout=0.1))
+        except queue.Empty:
+            return reqs
+        deadline = self._max_wait
+        import time
+        t0 = time.time()
+        while len(reqs) < self._batch and (time.time() - t0) < deadline:
+            try:
+                reqs.append(self._q.get(timeout=0.005))
+            except queue.Empty:
+                pass
+        return reqs
+
+    def _loop(self):
+        while not self._stop.is_set():
+            reqs = self._collect()
+            if not reqs:
+                continue
+            n = len(reqs)
+            stacked = {}
+            for k in reqs[0].payload:
+                arrs = [r.payload[k] for r in reqs]
+                # pad to the static batch with copies of request 0
+                while len(arrs) < self._batch:
+                    arrs.append(arrs[0])
+                stacked[k] = jnp.asarray(np.stack(arrs))
+            try:
+                out = self._solver(stacked)
+                out = jax.device_get(out)
+                for i, r in enumerate(reqs):
+                    r.future.set_result(
+                        {k: v[i] for k, v in out.items()})
+                self.batches_dispatched += 1
+                self.maps_completed += n
+            except Exception as e:  # propagate to callers
+                for r in reqs:
+                    if not r.future.done():
+                        r.future.set_exception(e)

@@ -1,0 +1,142 @@
+"""Fused-likelihood kernel parity: pallas (interpret mode on CPU) vs the
+pure-jnp oracle vs the generic ops.likelihood path; value + gradient."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_spectrum_cartography_tpu.ops import boundaries as B
+from quantized_spectrum_cartography_tpu.ops.likelihood import (
+    gather_bin_bounds,
+    log_prob_probit_bounds,
+    masked_nll,
+)
+from quantized_spectrum_cartography_tpu.ops.pallas import (
+    MASK_SENTINEL,
+    fused_nll_reference,
+    fused_quantized_nll,
+    pack_bounds,
+)
+from quantized_spectrum_cartography_tpu.ops.pallas.fused_likelihood import (
+    _log_ndtr,
+)
+
+K, I, J, R = 16, 20, 20, 2
+IJ = I * J
+
+
+@pytest.fixture
+def instance(rng):
+    from quantized_spectrum_cartography_tpu.ops.lowrank import pad_spatial
+    S = pad_spatial(
+        jnp.asarray(rng.uniform(0.0, 0.05, (R, IJ)).astype(np.float32)))
+    C = jnp.asarray(rng.uniform(0.0, 1.0, (K, R)).astype(np.float32))
+    Y = jnp.asarray(rng.integers(0, 4, (K, I, J)))
+    mask = jnp.asarray(rng.integers(0, 2, (K, I, J)).astype(np.float32))
+    return S, C, Y, mask
+
+
+def test_log_ndtr_matches_scipy():
+    from scipy.stats import norm
+    t = jnp.asarray(np.linspace(-2000, 8, 4001, dtype=np.float32))
+    got = np.asarray(_log_ndtr(t))
+    want = norm.logcdf(np.asarray(t, np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-5)
+
+
+def test_pack_bounds_layout(instance):
+    S, C, Y, mask = instance
+    bb = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_4_BINS_LOG))
+    W, U = pack_bounds(Y, bb, mask)
+    assert W.shape == (K, 512) and U.shape == (K, 512)  # 400 -> 512 lanes
+    Wn = np.asarray(W)[:, :IJ].reshape(K, I, J)
+    m = np.asarray(mask) > 0
+    bbn = np.asarray(bb)
+    np.testing.assert_allclose(Wn[m], bbn[np.asarray(Y)][m], rtol=1e-6)
+    assert np.all(Wn[~m] == -MASK_SENTINEL)
+    assert np.all(np.asarray(W)[:, IJ:] == -MASK_SENTINEL)
+
+
+def test_fused_value_matches_generic_likelihood(instance):
+    S, C, Y, mask = instance
+    bb = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_4_BINS_LOG))
+    sigma, offset = 5.0, B.LOG_OFFSET_4
+    W, U = pack_bounds(Y, bb, mask)
+
+    got = fused_nll_reference(S, C, W, U, sigma, offset)
+
+    # generic path: einsum reconstruction + gather + stable logprob + mask
+    T = jnp.einsum("rp,kr->kp", S[:, :IJ], C).reshape(K, I, J)
+    x = jnp.log(T + offset)
+    Wg, Ug = gather_bin_bounds(Y, bb)
+    want = masked_nll(log_prob_probit_bounds(Wg, Ug, x, sigma), mask)
+    np.testing.assert_allclose(float(got), float(want), rtol=2e-4)
+
+
+def test_pallas_interpret_matches_reference(instance):
+    S, C, Y, mask = instance
+    bb = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_4_BINS_LOG))
+    sigma, offset = 5.0, B.LOG_OFFSET_4
+    W, U = pack_bounds(Y, bb, mask)
+    got = fused_quantized_nll(S, C, W, U, sigma, offset, True)
+    want = fused_nll_reference(S, C, W, U, sigma, offset)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+
+
+def test_custom_vjp_matches_autodiff(instance):
+    S, C, Y, mask = instance
+    bb = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_4_BINS_LOG))
+    sigma, offset = 5.0, B.LOG_OFFSET_4
+    W, U = pack_bounds(Y, bb, mask)
+
+    gS, gC = jax.grad(
+        lambda s, c: fused_quantized_nll(s, c, W, U, sigma, offset, True),
+        argnums=(0, 1))(S, C)
+    aS, aC = jax.grad(
+        lambda s, c: fused_nll_reference(s, c, W, U, sigma, offset),
+        argnums=(0, 1))(S, C)
+    np.testing.assert_allclose(np.asarray(gS), np.asarray(aS),
+                               rtol=5e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gC), np.asarray(aC),
+                               rtol=5e-3, atol=1e-4)
+
+
+def test_masked_and_padded_entries_do_not_contribute(instance):
+    S, C, Y, mask = instance
+    bb = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_4_BINS_LOG))
+    sigma, offset = 5.0, B.LOG_OFFSET_4
+    W0, U0 = pack_bounds(Y, bb, jnp.zeros_like(mask))   # all masked out
+    val = float(fused_nll_reference(S, C, W0, U0, sigma, offset))
+    assert abs(val) < 1e-3
+    g = jax.grad(lambda s: fused_nll_reference(s, C, W0, U0, sigma, offset))(S)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+
+
+def test_small_sigma_stability(instance):
+    """sigma=0.008 (the reference's sharpest probit) must stay finite."""
+    S, C, Y, mask = instance
+    bb = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_4_BINS_LOG))
+    W, U = pack_bounds(Y, bb, mask)
+    val = fused_nll_reference(S, C, W, U, 0.008, B.LOG_OFFSET_4)
+    assert np.isfinite(float(val))
+    gS = jax.grad(
+        lambda s: fused_nll_reference(s, C, W, U, 0.008, B.LOG_OFFSET_4))(S)
+    assert np.all(np.isfinite(np.asarray(gS)))
+
+
+def test_vmap_batching(instance):
+    S, C, Y, mask = instance
+    bb = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_4_BINS_LOG))
+    sigma, offset = 5.0, B.LOG_OFFSET_4
+    W, U = pack_bounds(Y, bb, mask)
+    B_ = 3
+    Sb = jnp.stack([S * (1.0 + 0.1 * i) for i in range(B_)])
+    Cb = jnp.stack([C] * B_)
+    vals = jax.vmap(
+        lambda s, c: fused_nll_reference(s, c, W, U, sigma, offset)
+    )(Sb, Cb)
+    assert vals.shape == (B_,)
+    singles = [float(fused_nll_reference(Sb[i], Cb[i], W, U, sigma, offset))
+               for i in range(B_)]
+    np.testing.assert_allclose(np.asarray(vals), singles, rtol=1e-5)
