@@ -2,5 +2,6 @@ from quantized_spectrum_cartography_tpu.ops.pallas.fused_likelihood import (  # 
     fused_quantized_nll,
     fused_nll_reference,
     pack_bounds,
+    pack_bounds_1bit,
     MASK_SENTINEL,
 )

@@ -50,27 +50,58 @@ _HIGH = jax.lax.Precision.HIGHEST
 # numerics shared by kernel and reference path (pure jnp -> lowers in pallas)
 # --------------------------------------------------------------------------
 
-def _log_ndtr(t: jnp.ndarray) -> jnp.ndarray:
-    """Stable log Phi(t) in f32 without lax.erfc tail underflow.
+# The axon Mosaic lowering implements only basic elementwise primitives:
+# no erf/erfc/expm1/log1p/sign.  All kernel numerics below stick to
+# exp/log/abs/min/max/where/polynomials (each failed primitive costs an
+# ~8-minute remote recompile round-trip to discover).
 
-    t > -4:  log1p(-0.5 erfc(t/sqrt2))          (erfc well above f32 tiny)
+def _erf(z: jnp.ndarray) -> jnp.ndarray:
+    """erf via the Abramowitz & Stegun 7.1.26 rational polynomial
+    (max abs error 1.5e-7, right at f32 resolution)."""
+    az = jnp.abs(z)
+    u = 1.0 / (1.0 + 0.3275911 * az)
+    poly = u * (0.254829592 + u * (-0.284496736 + u * (
+        1.421413741 + u * (-1.453152027 + u * 1.061405429))))
+    val = 1.0 - poly * jnp.exp(-az * az)
+    return jnp.where(z >= 0.0, val, -val)
+
+
+def _log1mexp(d: jnp.ndarray) -> jnp.ndarray:
+    """log(1 - e^d) for d <= -1e-12, without expm1/log1p.
+
+    |d| < log 2: 1-e^d = -d(1 + d/2 + d^2/6 + d^3/24 + d^4/120) (series);
+    else: log(1 - e^d) directly (e^d <= 0.5, no cancellation).
+    """
+    d_small = jnp.clip(d, -0.6931472, -1e-12)
+    series = 1.0 + d_small * (0.5 + d_small * (
+        1.0 / 6.0 + d_small * (1.0 / 24.0 + d_small / 120.0)))
+    small_val = jnp.log(-d_small * series)
+    d_large = jnp.minimum(d, -0.6931472)
+    large_val = jnp.log(1.0 - jnp.exp(d_large))
+    return jnp.where(d > -0.6931472, small_val, large_val)
+
+
+def _log_ndtr(t: jnp.ndarray) -> jnp.ndarray:
+    """Stable log Phi(t) in f32, Pallas-lowerable (exp/log/polys only).
+
+    t > -4:  log1p(erf(t/sqrt2)) - log 2
     t <= -4: Mills asymptotic  -t^2/2 - log(-t) - log sqrt(2pi)
              + log(1 - 1/t^2 + 3/t^4 - 15/t^6)   (rel err < 1e-3 at t=-4)
     """
-    tc = jnp.minimum(t, 0.0)            # t>0 handled by the erfc branch fine
+    tc = jnp.minimum(t, 0.0)            # t>0 handled by the direct branch
     t2 = tc * tc
     safe_t = jnp.minimum(tc, -4.0)
     inv2 = 1.0 / (safe_t * safe_t)
     series = 1.0 - inv2 * (1.0 - 3.0 * inv2 * (1.0 - 5.0 * inv2))
     asym = (-0.5 * t2 - jnp.log(-safe_t) - _LOG_SQRT_2PI
             + jnp.log(series))
-    # Phi(t) = 0.5*(1 + erf(t/sqrt2))  =>  log Phi = log(0.5) + log1p(erf)
-    # (erf, not erfc: Pallas TPU has no erfc lowering.)  double-where:
-    # clamp the direct branch's input so its (unselected) value/grad stays
-    # finite in the deep tail — else autodiff produces 0 * inf = NaN at
-    # masked/sentinel entries.
+    # double-where: clamp the direct branch's input so its (unselected)
+    # value/grad stays finite in the deep tail — else autodiff produces
+    # 0 * inf = NaN at masked/sentinel entries.  log(1+erf) in place of
+    # log1p: at the t=-4 branch point 1+erf ~ 6e-5, so the f32 addition
+    # costs ~1e-3 relative on Phi — within the A&S polynomial's own error.
     t_dir = jnp.maximum(t, -4.0)
-    direct = (jnp.log1p(jax.lax.erf(t_dir * 0.7071067811865476))
+    direct = (jnp.log(1.0 + _erf(t_dir * 0.7071067811865476))
               - 0.6931471805599453)
     return jnp.where(t <= -4.0, asym, direct)
 
@@ -84,7 +115,7 @@ def _log_prob(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     l_lo = _log_ndtr(lo)
     l_hi = _log_ndtr(hi)
     diff = jnp.minimum(l_lo - l_hi, -1e-12)
-    return l_hi + jnp.log(-jnp.expm1(diff))
+    return l_hi + _log1mexp(diff)
 
 
 def _dlogp_dx(a: jnp.ndarray, b: jnp.ndarray, logP: jnp.ndarray,
@@ -102,28 +133,31 @@ def _dlogp_dx(a: jnp.ndarray, b: jnp.ndarray, logP: jnp.ndarray,
 # pallas kernels
 # --------------------------------------------------------------------------
 
-def _fwd_kernel(s_ref, c_ref, w_ref, u_ref, out_ref, *, sigma, offset):
+def _fwd_kernel(s_ref, c_ref, w_ref, u_ref, out_ref, *, sigma, offset,
+                linear):
     inv_s = 1.0 / (sigma * _SIGMA_EFF)
     X = jnp.dot(c_ref[:], s_ref[:], preferred_element_type=jnp.float32)
-    x = jnp.log(X + offset)
+    x = X if linear else jnp.log(X + offset)
     a = (w_ref[:] - x) * inv_s
     b = (u_ref[:] - x) * inv_s
     out_ref[0, 0] = -jnp.sum(_log_prob(a, b))
 
 
 def _bwd_kernel(s_ref, c_ref, w_ref, u_ref, g_ref, ds_ref, dc_ref,
-                *, sigma, offset):
+                *, sigma, offset, linear):
     inv_s = 1.0 / (sigma * _SIGMA_EFF)
     S = s_ref[:]
     C = c_ref[:]
     X = jnp.dot(C, S, preferred_element_type=jnp.float32)
     Xo = X + offset
-    x = jnp.log(Xo)
+    x = X if linear else jnp.log(Xo)
     a = (w_ref[:] - x) * inv_s
     b = (u_ref[:] - x) * inv_s
     logP = _log_prob(a, b)
-    # nll = -sum logP  =>  d nll/dX = -(dlogP/dx) * dx/dX,  dx/dX = 1/Xo
-    dX = -g_ref[0, 0] * _dlogp_dx(a, b, logP, inv_s) / Xo
+    # nll = -sum logP  =>  d nll/dX = -(dlogP/dx) * dx/dX
+    # dx/dX = 1 (linear link) or 1/Xo (log link)
+    dlogp = _dlogp_dx(a, b, logP, inv_s)
+    dX = -g_ref[0, 0] * (dlogp if linear else dlogp / Xo)
     ds_ref[:] = jnp.dot(C.T, dX, preferred_element_type=jnp.float32)
     dc_ref[:] = jnp.dot(dX, S.T, preferred_element_type=jnp.float32)
 
@@ -159,6 +193,29 @@ def pack_bounds(
     return W, U
 
 
+def pack_bounds_1bit(
+    y01: jnp.ndarray,
+    mean: float,
+    mask: Optional[jnp.ndarray] = None,
+    lane_multiple: int = 128,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """1-bit observations as the 2-bin ordinal case (linear link):
+    y=1 -> (W,U)=(mean,+inf), y=0 -> (-inf,mean), so
+    -logP = -log Phi(+-(X-mean)/s) — the reference's probit BCE up to the
+    mean/sum reduction (quantization_model.py:97-113)."""
+    K = y01.shape[0]
+    yf = y01.reshape(K, -1) > 0.5
+    W = jnp.where(yf, jnp.float32(mean), -MASK_SENTINEL)
+    U = jnp.where(yf, MASK_SENTINEL, jnp.float32(mean))
+    if mask is not None:
+        mf = mask.reshape(K, -1) > 0
+        W = jnp.where(mf, W, -MASK_SENTINEL)
+        U = jnp.where(mf, U, MASK_SENTINEL)
+    W = _pad_to(W, lane_multiple, -MASK_SENTINEL)
+    U = _pad_to(U, lane_multiple, MASK_SENTINEL)
+    return W, U
+
+
 # --------------------------------------------------------------------------
 # public entry point with custom VJP
 # --------------------------------------------------------------------------
@@ -167,11 +224,12 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fwd_pallas(S_flat, C, W, U, sigma, offset, interpret):
+def _fwd_pallas(S_flat, C, W, U, sigma, offset, linear, interpret):
     K, IJp = W.shape
     R = S_flat.shape[0]
     nll = pl.pallas_call(
-        functools.partial(_fwd_kernel, sigma=sigma, offset=offset),
+        functools.partial(_fwd_kernel, sigma=sigma, offset=offset,
+                          linear=linear),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -184,12 +242,13 @@ def _fwd_pallas(S_flat, C, W, U, sigma, offset, interpret):
     return nll[0, 0]
 
 
-def _bwd_pallas(S_flat, C, W, U, g, sigma, offset, interpret):
+def _bwd_pallas(S_flat, C, W, U, g, sigma, offset, linear, interpret):
     K, IJp = W.shape
     R = S_flat.shape[0]
     g2 = g.reshape(1, 1).astype(jnp.float32)
     dS, dC = pl.pallas_call(
-        functools.partial(_bwd_kernel, sigma=sigma, offset=offset),
+        functools.partial(_bwd_kernel, sigma=sigma, offset=offset,
+                          linear=linear),
         out_shape=(jax.ShapeDtypeStruct((R, IJp), jnp.float32),
                    jax.ShapeDtypeStruct((K, R), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
@@ -205,21 +264,21 @@ def _bwd_pallas(S_flat, C, W, U, g, sigma, offset, interpret):
     return dS, dC
 
 
-def _nll_jnp(S_flat, C, W, U, sigma, offset):
+def _nll_jnp(S_flat, C, W, U, sigma, offset, linear=False):
     inv_s = 1.0 / (sigma * _SIGMA_EFF)
     X = jnp.matmul(C, S_flat, precision=_HIGH)
-    x = jnp.log(X + offset)
+    x = X if linear else jnp.log(X + offset)
     a = (W - x) * inv_s
     b = (U - x) * inv_s
     return -jnp.sum(_log_prob(a, b))
 
 
-def fused_nll_reference(S_flat, C, W, U, sigma, offset):
+def fused_nll_reference(S_flat, C, W, U, sigma, offset, linear=False):
     """Pure-jnp oracle with identical math (autodiff-able)."""
-    return _nll_jnp(S_flat, C, W, U, sigma, offset)
+    return _nll_jnp(S_flat, C, W, U, sigma, offset, linear)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_quantized_nll(
     S_flat: jnp.ndarray,     # [R, IJp]
     C: jnp.ndarray,          # [K, R]
@@ -228,36 +287,42 @@ def fused_quantized_nll(
     sigma: float,
     offset: float,
     interpret: bool = False,
+    linear: bool = False,
 ) -> jnp.ndarray:
     """Masked quantized-observation NLL of factors (S, C); scalar.
 
+    linear=True uses the identity link (x = C@S), whose 2-bin case is the
+    reference's 1-bit probit BCE (quantization_model.py NegLikelihood up
+    to the mean-vs-sum reduction); linear=False applies the log link.
     Differentiable in S_flat and C via the fused analytic backward pass.
     """
     if _use_pallas() or interpret:
-        return _fwd_pallas(S_flat, C, W, U, sigma, offset,
+        return _fwd_pallas(S_flat, C, W, U, sigma, offset, linear,
                            interpret=interpret)
-    return _nll_jnp(S_flat, C, W, U, sigma, offset)
+    return _nll_jnp(S_flat, C, W, U, sigma, offset, linear)
 
 
-def _vjp_fwd(S_flat, C, W, U, sigma, offset, interpret):
-    out = fused_quantized_nll(S_flat, C, W, U, sigma, offset, interpret)
+def _vjp_fwd(S_flat, C, W, U, sigma, offset, interpret, linear):
+    out = fused_quantized_nll(S_flat, C, W, U, sigma, offset, interpret,
+                              linear)
     return out, (S_flat, C, W, U)
 
 
-def _vjp_bwd(sigma, offset, interpret, res, g):
+def _vjp_bwd(sigma, offset, interpret, linear, res, g):
     S_flat, C, W, U = res
     if _use_pallas() or interpret:
-        dS, dC = _bwd_pallas(S_flat, C, W, U, g, sigma, offset,
+        dS, dC = _bwd_pallas(S_flat, C, W, U, g, sigma, offset, linear,
                              interpret=interpret)
     else:
         inv_s = 1.0 / (sigma * _SIGMA_EFF)
         X = jnp.matmul(C, S_flat, precision=_HIGH)
         Xo = X + offset
-        x = jnp.log(Xo)
+        x = X if linear else jnp.log(Xo)
         a = (W - x) * inv_s
         b = (U - x) * inv_s
         logP = _log_prob(a, b)
-        dX = -g * _dlogp_dx(a, b, logP, inv_s) / Xo
+        dlogp = _dlogp_dx(a, b, logP, inv_s)
+        dX = -g * (dlogp if linear else dlogp / Xo)
         dS = jnp.matmul(C.T, dX, precision=_HIGH)
         dC = jnp.matmul(dX, S_flat.T, precision=_HIGH)
     return dS, dC, None, None

@@ -20,9 +20,14 @@ from quantized_spectrum_cartography_tpu.config import SolverConfig
 from quantized_spectrum_cartography_tpu.ops.likelihood import neg_likelihood_1bit
 from quantized_spectrum_cartography_tpu.ops.lowrank import (
     get_tensor,
+    pad_spatial,
     project_nonneg,
     project_rank,
     safe_fro,
+)
+from quantized_spectrum_cartography_tpu.ops.pallas import (
+    fused_quantized_nll,
+    pack_bounds_1bit,
 )
 from quantized_spectrum_cartography_tpu.ops.metrics import nmse
 from quantized_spectrum_cartography_tpu.solvers.base import (
@@ -44,6 +49,7 @@ def recover_lowrank_mle(
     l1: float = 0.0,
     l2: float = 0.01,
     joint: bool = False,
+    use_fused: bool = True,
 ) -> RecoveryResult:
     """Recover (S, C) from 1-bit observations T_obs in {0, 1}.
 
@@ -51,6 +57,9 @@ def recover_lowrank_mle(
     (onebit_lowrank.ipynb cell 1); joint=True: simultaneous single step on
     both factors with projection every iteration (cell 16).
     T_true (optional) enables NMSE tracking, like the notebook's `nmses`.
+    use_fused routes the probit BCE through the fused Pallas kernel as the
+    2-bin linear-link ordinal case (sigmoid link always takes the generic
+    path).
     """
     track_true = T_true is not None
     T_ref = T_true if track_true else jnp.zeros_like(T_obs)
@@ -58,13 +67,26 @@ def recover_lowrank_mle(
     opt_s = optax.adam(cfg.lr_s)
     opt_c = optax.adam(cfg.lr_s if joint else cfg.lr_c)
 
-    def cost_fn(S, C):
-        T_hat = get_tensor(S, C)
-        return (
-            neg_likelihood_1bit(T_hat, T_obs, mean, std, probit, mask=mask)
-            + l1 * safe_fro(S)
-            + l2 * safe_fro(C)
-        )
+    if use_fused and probit:
+        R = S_init.shape[0]
+        Wp, Up = pack_bounds_1bit(T_obs, mean, mask)
+        count = (jnp.sum(mask) if mask is not None
+                 else jnp.float32(T_obs.size))
+
+        def cost_fn(S, C):
+            S_flat = pad_spatial(S.reshape(R, -1))
+            nll = fused_quantized_nll(
+                S_flat, C.T, Wp, Up, std, 0.0, False, True)
+            return nll / count + l1 * safe_fro(S) + l2 * safe_fro(C)
+    else:
+        def cost_fn(S, C):
+            T_hat = get_tensor(S, C)
+            return (
+                neg_likelihood_1bit(T_hat, T_obs, mean, std, probit,
+                                    mask=mask)
+                + l1 * safe_fro(S)
+                + l2 * safe_fro(C)
+            )
 
     def project(S, C):
         S = project_rank(S, cfg.rank_truncation)

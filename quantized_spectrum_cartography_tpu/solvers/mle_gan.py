@@ -39,8 +39,13 @@ from quantized_spectrum_cartography_tpu.ops.likelihood import (
 )
 from quantized_spectrum_cartography_tpu.ops.lowrank import (
     get_tensor,
+    pad_spatial,
     project_nonneg,
     safe_fro,
+)
+from quantized_spectrum_cartography_tpu.ops.pallas import (
+    fused_quantized_nll,
+    pack_bounds,
 )
 from quantized_spectrum_cartography_tpu.ops.metrics import nmse
 from quantized_spectrum_cartography_tpu.solvers.base import RecoveryResult, inner_steps
@@ -58,13 +63,22 @@ def recover_mle_gan(
     C_init: Optional[jnp.ndarray] = None,
     num_emitters: int = 2,
     T_true: Optional[jnp.ndarray] = None,
+    use_fused: bool = True,
 ) -> RecoveryResult:
-    """Recover (S = G(Z), C) from ordinal observations Y [K, I, J]."""
+    """Recover (S = G(Z), C) from ordinal observations Y [K, I, J].
+
+    use_fused=True routes the likelihood through the fused Pallas kernel
+    (ops/pallas/fused_likelihood.py; identical jnp math on non-TPU
+    backends); False keeps the generic gather-based path.
+    """
     K = Y.shape[0]
     bb = jnp.asarray(qcfg.boundaries, jnp.float32)
-    Wb, Ub = gather_bin_bounds(Y, bb)
     offset, std = qcfg.log_offset, qcfg.noise_std
     R = num_emitters
+    if use_fused:
+        Wp, Up = pack_bounds(Y, bb, mask)
+    else:
+        Wb, Ub = gather_bin_bounds(Y, bb)
 
     track_true = T_true is not None
     T_ref = T_true if track_true else jnp.zeros((K,) + Y.shape[1:], jnp.float32)
@@ -78,9 +92,14 @@ def recover_mle_gan(
     opt_c = optax.adam(scfg.lr_c)
     opt_z = optax.adam(scfg.lr_z)
 
-    def nll(S, C):
-        x = jnp.log(get_tensor(S, C) + offset)
-        return masked_nll(log_prob_probit_bounds(Wb, Ub, x, std), mask)
+    if use_fused:
+        def nll(S, C):
+            S_flat = pad_spatial(S.reshape(R, -1))
+            return fused_quantized_nll(S_flat, C.T, Wp, Up, std, offset)
+    else:
+        def nll(S, C):
+            x = jnp.log(get_tensor(S, C) + offset)
+            return masked_nll(log_prob_probit_bounds(Wb, Ub, x, std), mask)
 
     def cost_c(C, S, Z):
         return (nll(S, C) + scfg.lambda_c * safe_fro(C)

@@ -140,3 +140,26 @@ def test_vmap_batching(instance):
     singles = [float(fused_nll_reference(Sb[i], Cb[i], W, U, sigma, offset))
                for i in range(B_)]
     np.testing.assert_allclose(np.asarray(vals), singles, rtol=1e-5)
+
+
+def test_pack_bounds_1bit_matches_bce(rng):
+    """2-bin linear-link fused NLL == reference probit BCE (up to mean)."""
+    from quantized_spectrum_cartography_tpu.ops.likelihood import (
+        neg_likelihood_1bit,
+    )
+    from quantized_spectrum_cartography_tpu.ops.lowrank import pad_spatial
+    from quantized_spectrum_cartography_tpu.ops.pallas import pack_bounds_1bit
+
+    S = pad_spatial(jnp.asarray(
+        rng.uniform(0, 0.01, (R, IJ)).astype(np.float32)))
+    C = jnp.asarray(rng.uniform(0, 1, (K, R)).astype(np.float32))
+    y01 = jnp.asarray(rng.integers(0, 2, (K, I, J)).astype(np.float32))
+    mask = jnp.asarray(rng.integers(0, 2, (K, I, J)).astype(np.float32))
+    mean, std = 0.0045, 0.008
+    W, U = pack_bounds_1bit(y01, mean, mask)
+    nll = fused_nll_reference(S, C, W, U, std, 0.0, linear=True)
+    got = float(nll / jnp.sum(mask))
+
+    T = jnp.einsum("rp,kr->kp", S[:, :IJ], C).reshape(K, I, J)
+    want = float(neg_likelihood_1bit(T, y01, mean, std, True, mask=mask))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
