@@ -1,0 +1,162 @@
+"""Unquantized masked-completion solvers (the pre-quantization toolchain).
+
+Re-designs of:
+- `deep_prior/optimization.ipynb` cells 17/19  run_descent — GAN/AE prior
+  completion of one masked SLF: 400+200 randomized z draws on masked MSE
+  then Adam on z (the prior-quality benchmark protocol, sweeping f);
+- `backup/algorithms/nn_descent_gan.py:49-183`  optimize_z/optimize_z_raw —
+  the MATLAB-callable multi-emitter latent descent on masked MSE;
+- the MATLAB harness's DowJons proper (`joint_opt_ae.m:403-465`):
+  alternating exact NNLS C-steps (lsqnonneg per frequency) with latent
+  S-steps on the masked unquantized tensor.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from quantized_spectrum_cartography_tpu.baselines.nnls import nnls_rows
+from quantized_spectrum_cartography_tpu.ops.lowrank import get_tensor
+from quantized_spectrum_cartography_tpu.ops.metrics import nmse
+from quantized_spectrum_cartography_tpu.solvers.base import RecoveryResult
+from quantized_spectrum_cartography_tpu.solvers.gan_inversion import (
+    _adam_descent,
+)
+from quantized_spectrum_cartography_tpu.solvers.priors import (
+    randomized_search,
+)
+
+
+def recover_masked_mse(
+    key: jax.Array,
+    gen_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    mask: jnp.ndarray,
+    observed: jnp.ndarray,
+    z_dim: int = 256,
+    num_emitters: int = 1,
+    num_global: int = 400,
+    num_local: int = 200,
+    adam_steps: int = 500,
+    lr: float = 0.01,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Masked-MSE prior completion of SLF(s) (optimization.ipynb cell 17).
+
+    mask/observed: [I, J] (single SLF) or summed-map target per emitter
+    stack [R, I, J].  Returns (S_hat, z, losses)."""
+
+    def loss_of(S):
+        return jnp.sum(mask * jnp.square(S - observed)) / jnp.maximum(
+            jnp.sum(mask), 1.0)
+
+    k0, ks = jax.random.split(key)
+    z0 = jax.random.normal(k0, (num_emitters, z_dim))
+    z = randomized_search(
+        ks, gen_apply, lambda S: loss_of(S if num_emitters > 1 else S[0]),
+        z0, num_global, num_local)
+    z, losses = _adam_descent(
+        lambda zz: loss_of(gen_apply(zz) if num_emitters > 1
+                           else gen_apply(zz)[0]),
+        z, lr, adam_steps)
+    S = gen_apply(z)
+    return (S if num_emitters > 1 else S[0]), z, losses
+
+
+def optimize_z(
+    key: jax.Array,
+    gen_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    S_targets: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    z_init: Optional[jnp.ndarray] = None,
+    adam_steps: int = 200,
+    lr: float = 0.01,
+    z_dim: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-emitter latent descent to target SLFs [R, I, J] on (masked)
+    MSE — the MATLAB-callable S-step (nn_descent_gan.py optimize_z_raw).
+    Returns (S_hat [R, I, J], z)."""
+    R = S_targets.shape[0]
+    zd = z_init.shape[-1] if z_init is not None else z_dim
+    z0 = (z_init if z_init is not None
+          else jax.random.normal(key, (R, zd)))
+    m = jnp.ones_like(S_targets) if mask is None else mask
+
+    def loss(zz):
+        return jnp.sum(m * jnp.square(gen_apply(zz) - S_targets)) / \
+            jnp.maximum(jnp.sum(m), 1.0)
+
+    z, _ = _adam_descent(loss, z0, lr, adam_steps)
+    return gen_apply(z), z
+
+
+def recover_dowjons_unquantized(
+    key: jax.Array,
+    T_obs: jnp.ndarray,
+    Om: jnp.ndarray,
+    gen_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    num_emitters: int = 2,
+    z_dim: int = 256,
+    outer_iters: int = 20,
+    z_steps_per_iter: int = 20,
+    nnls_iters: int = 100,
+    lr_z: float = 0.01,
+    T_true: Optional[jnp.ndarray] = None,
+) -> RecoveryResult:
+    """The harness's DowJons joint optimization on unquantized samples:
+
+      C-step: exact NNLS per frequency on observed locations
+              (lsqnonneg loop at joint_opt_ae.m:403-418 -> one batched
+              Nesterov NNLS over all K rows)
+      S-step: latent Adam descent through the frozen generator on the
+              masked residual (joint_opt_ae.m:444-465)
+
+    T_obs [K, I, J] with per-location mask Om [I, J].
+    """
+    K, I, J = T_obs.shape
+    R = num_emitters
+    W = Om.astype(T_obs.dtype)[None]               # [1, I, J] broadcast
+    Wf = W.reshape(1, -1)                          # [1, IJ]
+    T_flat = (T_obs * W).reshape(K, -1)            # [K, IJ]
+
+    track = T_true is not None
+    T_ref = T_true if track else jnp.zeros_like(T_obs)
+
+    key, kz = jax.random.split(key)
+    Z = jax.random.normal(kz, (R, z_dim))
+    opt = optax.adam(lr_z)
+
+    def c_step(S):
+        # rows: min_{c_k>=0} || diag(w) (S_flat^T c_k - t_k) ||
+        S_masked = (S.reshape(R, -1) * Wf)         # [R, IJ] weighted design
+        return nnls_rows(S_masked.T, T_flat, iters=nnls_iters)  # [K, R]
+
+    def z_loss(Z, C):
+        T_hat = get_tensor(gen_apply(Z), C)
+        return jnp.sum(jnp.square(W * (T_hat - T_obs)))
+
+    def outer(carry, _):
+        Z, opt_state = carry
+        S = gen_apply(Z)
+        C = c_step(S).T                            # [R, K]
+
+        def zs(carry2, _):
+            Z, st = carry2
+            loss, g = jax.value_and_grad(z_loss)(Z, C)
+            up, st = opt.update(g, st, Z)
+            return (optax.apply_updates(Z, up), st), loss
+
+        (Z, opt_state), losses = jax.lax.scan(
+            zs, (Z, opt_state), None, length=z_steps_per_iter)
+        err = (nmse(get_tensor(gen_apply(Z), C), T_ref) if track
+               else jnp.float32(0.0))
+        return (Z, opt_state), (losses[-1], err)
+
+    (Z, _), (costs, nmses) = jax.lax.scan(
+        outer, (Z, opt.init(Z)), None, length=outer_iters)
+    S = gen_apply(Z)
+    C = c_step(S).T
+    return RecoveryResult(S=S, C=C, T_hat=get_tensor(S, C),
+                          nmses=nmses, costs=costs, aux={"Z": Z})

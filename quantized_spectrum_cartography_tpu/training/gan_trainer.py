@@ -31,13 +31,15 @@ class GANTrainConfig:
     z_dim: int = 256
     batch_size: int = 64
     lr_g: float = 2e-4
-    lr_d: float = 2e-4
+    lr_d: float = 1e-4           # D below G: with amplitude-matched data
+                                 # the D otherwise wins early and G stalls
     beta1: float = 0.5           # DCGAN convention
     steps: int = 20000
     spectral_norm: bool = True
-    scale: float = 50.0          # SLF values are O(0.02); scale into the
-                                 # sigmoid-friendly range for training and
-                                 # divide back out at inference
+    scale: float = 2.5           # SLF peak ~0.26 (p99 0.31); x2.5 fills the
+                                 # sigmoid range without clipping; divided
+                                 # back out at inference
+    real_label: float = 0.9      # one-sided label smoothing
 
 
 @jax.tree_util.register_dataclass
@@ -112,7 +114,7 @@ def make_train_step(
             p_fake, _ = d_forward(d_params, mut.get("batch_stats", state.d_batch_stats),
                                   mut.get("spectral_stats", state.d_spectral),
                                   jax.lax.stop_gradient(fake), False)
-            loss = _bce(p_real, 1.0) + _bce(p_fake, 0.0)
+            loss = _bce(p_real, cfg.real_label) + _bce(p_fake, 0.0)
             return loss, mut
 
         (d_loss, d_mut), d_grad = jax.value_and_grad(
