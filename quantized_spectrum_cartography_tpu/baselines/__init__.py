@@ -10,3 +10,4 @@ from quantized_spectrum_cartography_tpu.baselines.harness import (  # noqa: F401
     evaluate_method,
     run_sweep,
 )
+from quantized_spectrum_cartography_tpu.baselines.btd import btd_ll1  # noqa: F401

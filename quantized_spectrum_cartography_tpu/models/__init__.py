@@ -9,8 +9,16 @@ from quantized_spectrum_cartography_tpu.models.generator import (  # noqa: F401
 from quantized_spectrum_cartography_tpu.models.dip import DecoderDip  # noqa: F401
 from quantized_spectrum_cartography_tpu.models.ae import (  # noqa: F401
     Autoencoder,
+    AutoencoderLinear,
     Decoder,
     Encoder,
+    EncoderDecoder,
+)
+from quantized_spectrum_cartography_tpu.models.builders import (  # noqa: F401
+    DictDiscriminator,
+    DictEncoder,
+    GANEncoder,
+    InvalidArchitectureError,
 )
 from quantized_spectrum_cartography_tpu.models.discriminator import (  # noqa: F401
     Discriminator,

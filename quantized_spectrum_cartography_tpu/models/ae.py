@@ -44,15 +44,21 @@ def _act(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
 
 
 class Encoder(nn.Module):
-    """Conv encoder [B,51,51,nc] -> [B, latent]  (ae.py:27-66,128-160)."""
+    """Conv encoder [B,51,51,nc] -> [B, latent]  (ae.py:27-66,128-160).
+
+    base_width scales every stage's channel count (the reference's
+    EncoderDecoder512/256/128/32 width family, adversarial_model.py)."""
 
     activation: str = "selu"
     stages: Sequence[Tuple[int, int, int, int]] = _ENC_STAGES
+    base_width: int = 16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         act = _act(self.activation)
+        scale = self.base_width / 16.0
         for i, (f, k, s, p) in enumerate(self.stages):
+            f = max(int(f * scale), 2)
             x = conv_torch(f, k, s, p, use_bias=False)(x)
             if i > 0:  # first conv has no BN in the reference
                 x = nn.BatchNorm(use_running_average=not train,
@@ -66,12 +72,15 @@ class Decoder(nn.Module):
 
     activation: str = "selu"
     stages: Sequence[Tuple[int, int, int, int]] = _DEC_STAGES
+    base_width: int = 16
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         act = _act(self.activation)
+        scale = self.base_width / 16.0
         x = z.reshape(z.shape[0], 1, 1, z.shape[-1])
         for f, k, s, p in self.stages:
+            f = max(int(f * scale), 2)
             x = convt_torch(f, k, s, p)(x)
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=0.9, epsilon=1e-5)(x)
@@ -85,14 +94,40 @@ class Autoencoder(nn.Module):
 
     activation='selu' gives the reference's AutoencoderSelu (the '1bit_map'
     model behind deep_comp.py / nn_descent_ae.py); 'leaky_relu' the plain
-    Autoencoder.
+    Autoencoder.  linear_bottleneck > 0 inserts a Dense bottleneck of that
+    width — the reference's AutoencoderLinear
+    (adversarial_model.py AutoencoderLinear, 128-d).
     """
 
     activation: str = "selu"
+    linear_bottleneck: int = 0
+    base_width: int = 16
 
     def setup(self):
-        self.encoder = Encoder(activation=self.activation)
-        self.decoder = Decoder(activation=self.activation)
+        self.encoder = Encoder(activation=self.activation,
+                               base_width=self.base_width)
+        self.decoder = Decoder(activation=self.activation,
+                               base_width=self.base_width)
+        if self.linear_bottleneck:
+            self.bottleneck_down = nn.Dense(self.linear_bottleneck)
+            self.bottleneck_up = nn.Dense(256)
 
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        return self.decoder(self.encoder(x, train), train)
+        h = self.encoder(x, train)
+        if self.linear_bottleneck:
+            h = self.bottleneck_up(nn.relu(self.bottleneck_down(h)))
+        return self.decoder(h, train)
+
+
+def AutoencoderLinear(bottleneck: int = 128) -> Autoencoder:
+    """Reference AutoencoderLinear (adversarial_model.py): hourglass with a
+    128-d linear bottleneck."""
+    return Autoencoder(activation="leaky_relu", linear_bottleneck=bottleneck)
+
+
+def EncoderDecoder(width: int = 256) -> Autoencoder:
+    """The reference's EncoderDecoder completion-net family
+    (adversarial_model.py EncoderDecoder{,12,512,256,128,_128,32}): conv
+    hourglass mask+map -> map, channel widths scaled by `width` (the
+    bottleneck channel count; 256 matches the default stack)."""
+    return Autoencoder(activation="leaky_relu", base_width=max(width // 16, 2))

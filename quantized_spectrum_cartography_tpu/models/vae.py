@@ -46,6 +46,16 @@ class VAE(nn.Module):
         recon = self.decode(z, train)
         return recon, mean, logstd
 
+    def sample(self, key, n: int, train: bool = False):
+        """Draw n maps from the prior z ~ N(0, I) (vae.py:288-310)."""
+        z = jax.random.normal(key, (n, self.latent_dim))
+        return self.decode(z, train)
+
+    def reconstruct(self, x, train: bool = False):
+        """Posterior-mean reconstruction (vae.py:312-343)."""
+        mean, _ = self.encode(x, train)
+        return self.decode(mean, train)
+
     def loss(self, recon, target, mean, logstd):
         """BCE data term (vae.py:345-370) + exp-stabilized KL
         0.5 * sum(mean^2 + exp(2 logstd) - 2 logstd - 1)  (vae.py:372-394),

@@ -129,22 +129,44 @@ def _dlogp_dx(a: jnp.ndarray, b: jnp.ndarray, logP: jnp.ndarray,
     return (ra - rb) * inv_s
 
 
+def _log_prob_fast(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Direct-form log(Phi(b) - Phi(a)) = log((erf(b/sqrt2)-erf(a/sqrt2))/2).
+
+    3 transcendentals/element vs ~13 for the robust path; valid when
+    |z|-scores stay out of the deep tail (sigma >= ~1: the multi-bit log
+    boundaries span ~22, so |z| <= 22/sigma and erf differences stay far
+    above f32 tiny).  Floor keeps masked/sentinel entries at logP ~ log2e-38
+    -- still exactly-zero gradient since both phi terms underflow first.
+    """
+    ea = _erf(a * 0.7071067811865476)
+    eb = _erf(b * 0.7071067811865476)
+    return jnp.log(jnp.maximum(0.5 * (eb - ea), 1e-38))
+
+
+def _fast_ok(sigma: float) -> bool:
+    """Auto rule: the log-domain boundary span is ~25, so worst-case
+    |z| ~ 25/sigma; the direct erf difference stays above f32 tiny for
+    |z| <~ 12  =>  fast path iff sigma >= 2."""
+    return float(sigma) >= 2.0
+
+
 # --------------------------------------------------------------------------
 # pallas kernels
 # --------------------------------------------------------------------------
 
 def _fwd_kernel(s_ref, c_ref, w_ref, u_ref, out_ref, *, sigma, offset,
-                linear):
+                linear, fast):
     inv_s = 1.0 / (sigma * _SIGMA_EFF)
     X = jnp.dot(c_ref[:], s_ref[:], preferred_element_type=jnp.float32)
     x = X if linear else jnp.log(X + offset)
     a = (w_ref[:] - x) * inv_s
     b = (u_ref[:] - x) * inv_s
-    out_ref[0, 0] = -jnp.sum(_log_prob(a, b))
+    lp = _log_prob_fast(a, b) if fast else _log_prob(a, b)
+    out_ref[0, 0] = -jnp.sum(lp)
 
 
 def _bwd_kernel(s_ref, c_ref, w_ref, u_ref, g_ref, ds_ref, dc_ref,
-                *, sigma, offset, linear):
+                *, sigma, offset, linear, fast):
     inv_s = 1.0 / (sigma * _SIGMA_EFF)
     S = s_ref[:]
     C = c_ref[:]
@@ -153,7 +175,7 @@ def _bwd_kernel(s_ref, c_ref, w_ref, u_ref, g_ref, ds_ref, dc_ref,
     x = X if linear else jnp.log(Xo)
     a = (w_ref[:] - x) * inv_s
     b = (u_ref[:] - x) * inv_s
-    logP = _log_prob(a, b)
+    logP = _log_prob_fast(a, b) if fast else _log_prob(a, b)
     # nll = -sum logP  =>  d nll/dX = -(dlogP/dx) * dx/dX
     # dx/dX = 1 (linear link) or 1/Xo (log link)
     dlogp = _dlogp_dx(a, b, logP, inv_s)
@@ -224,12 +246,12 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-def _fwd_pallas(S_flat, C, W, U, sigma, offset, linear, interpret):
+def _fwd_pallas(S_flat, C, W, U, sigma, offset, linear, fast, interpret):
     K, IJp = W.shape
     R = S_flat.shape[0]
     nll = pl.pallas_call(
         functools.partial(_fwd_kernel, sigma=sigma, offset=offset,
-                          linear=linear),
+                          linear=linear, fast=fast),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -242,13 +264,13 @@ def _fwd_pallas(S_flat, C, W, U, sigma, offset, linear, interpret):
     return nll[0, 0]
 
 
-def _bwd_pallas(S_flat, C, W, U, g, sigma, offset, linear, interpret):
+def _bwd_pallas(S_flat, C, W, U, g, sigma, offset, linear, fast, interpret):
     K, IJp = W.shape
     R = S_flat.shape[0]
     g2 = g.reshape(1, 1).astype(jnp.float32)
     dS, dC = pl.pallas_call(
         functools.partial(_bwd_kernel, sigma=sigma, offset=offset,
-                          linear=linear),
+                          linear=linear, fast=fast),
         out_shape=(jax.ShapeDtypeStruct((R, IJp), jnp.float32),
                    jax.ShapeDtypeStruct((K, R), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4
@@ -264,21 +286,23 @@ def _bwd_pallas(S_flat, C, W, U, g, sigma, offset, linear, interpret):
     return dS, dC
 
 
-def _nll_jnp(S_flat, C, W, U, sigma, offset, linear=False):
+def _nll_jnp(S_flat, C, W, U, sigma, offset, linear=False, fast=False):
     inv_s = 1.0 / (sigma * _SIGMA_EFF)
     X = jnp.matmul(C, S_flat, precision=_HIGH)
     x = X if linear else jnp.log(X + offset)
     a = (W - x) * inv_s
     b = (U - x) * inv_s
-    return -jnp.sum(_log_prob(a, b))
+    lp = _log_prob_fast(a, b) if fast else _log_prob(a, b)
+    return -jnp.sum(lp)
 
 
-def fused_nll_reference(S_flat, C, W, U, sigma, offset, linear=False):
+def fused_nll_reference(S_flat, C, W, U, sigma, offset, linear=False,
+                        fast=False):
     """Pure-jnp oracle with identical math (autodiff-able)."""
-    return _nll_jnp(S_flat, C, W, U, sigma, offset, linear)
+    return _nll_jnp(S_flat, C, W, U, sigma, offset, linear, fast)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def fused_quantized_nll(
     S_flat: jnp.ndarray,     # [R, IJp]
     C: jnp.ndarray,          # [K, R]
@@ -288,31 +312,37 @@ def fused_quantized_nll(
     offset: float,
     interpret: bool = False,
     linear: bool = False,
+    fast: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Masked quantized-observation NLL of factors (S, C); scalar.
 
     linear=True uses the identity link (x = C@S), whose 2-bin case is the
     reference's 1-bit probit BCE (quantization_model.py NegLikelihood up
     to the mean-vs-sum reduction); linear=False applies the log link.
+    fast=None auto-selects the 3-transcendental direct erf-difference
+    formulation when sigma is large enough that z-scores stay out of the
+    deep tail (_fast_ok); the robust log-space path otherwise.
     Differentiable in S_flat and C via the fused analytic backward pass.
     """
+    fast = _fast_ok(sigma) if fast is None else fast
     if _use_pallas() or interpret:
-        return _fwd_pallas(S_flat, C, W, U, sigma, offset, linear,
+        return _fwd_pallas(S_flat, C, W, U, sigma, offset, linear, fast,
                            interpret=interpret)
-    return _nll_jnp(S_flat, C, W, U, sigma, offset, linear)
+    return _nll_jnp(S_flat, C, W, U, sigma, offset, linear, fast)
 
 
-def _vjp_fwd(S_flat, C, W, U, sigma, offset, interpret, linear):
+def _vjp_fwd(S_flat, C, W, U, sigma, offset, interpret, linear, fast):
     out = fused_quantized_nll(S_flat, C, W, U, sigma, offset, interpret,
-                              linear)
+                              linear, fast)
     return out, (S_flat, C, W, U)
 
 
-def _vjp_bwd(sigma, offset, interpret, linear, res, g):
+def _vjp_bwd(sigma, offset, interpret, linear, fast, res, g):
     S_flat, C, W, U = res
+    fast = _fast_ok(sigma) if fast is None else fast
     if _use_pallas() or interpret:
         dS, dC = _bwd_pallas(S_flat, C, W, U, g, sigma, offset, linear,
-                             interpret=interpret)
+                             fast, interpret=interpret)
     else:
         inv_s = 1.0 / (sigma * _SIGMA_EFF)
         X = jnp.matmul(C, S_flat, precision=_HIGH)
@@ -320,7 +350,7 @@ def _vjp_bwd(sigma, offset, interpret, linear, res, g):
         x = X if linear else jnp.log(Xo)
         a = (W - x) * inv_s
         b = (U - x) * inv_s
-        logP = _log_prob(a, b)
+        logP = _log_prob_fast(a, b) if fast else _log_prob(a, b)
         dlogp = _dlogp_dx(a, b, logP, inv_s)
         dX = -g * (dlogp if linear else dlogp / Xo)
         dS = jnp.matmul(C.T, dX, precision=_HIGH)

@@ -13,3 +13,9 @@ from quantized_spectrum_cartography_tpu.solvers.priors import (  # noqa: F401
     make_generator_apply,
     randomized_search,
 )
+from quantized_spectrum_cartography_tpu.solvers.completion import (  # noqa: F401
+    optimize_z,
+    recover_dowjons_unquantized,
+    recover_masked_mse,
+)
+from quantized_spectrum_cartography_tpu.solvers.nasdac import recover_nasdac  # noqa: F401

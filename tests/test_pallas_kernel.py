@@ -166,3 +166,20 @@ def test_pack_bounds_1bit_matches_bce(rng):
     T = jnp.einsum("rp,kr->kp", S[:, :IJ], C).reshape(K, I, J)
     want = float(neg_likelihood_1bit(T, y01, mean, std, True, mask=mask))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_fast_path_matches_robust_in_bulk(instance):
+    """sigma=5 (headline): fast erf-difference vs robust log-space path."""
+    S, C, Y, mask = instance
+    bb = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_4_BINS_LOG))
+    sigma, offset = 5.0, B.LOG_OFFSET_4
+    W, U = pack_bounds(Y, bb, mask)
+    robust = fused_nll_reference(S, C, W, U, sigma, offset, fast=False)
+    fastv = fused_nll_reference(S, C, W, U, sigma, offset, fast=True)
+    np.testing.assert_allclose(float(fastv), float(robust), rtol=1e-3)
+    gr = jax.grad(lambda s: fused_nll_reference(s, C, W, U, sigma, offset,
+                                                fast=False))(S)
+    gf = jax.grad(lambda s: fused_nll_reference(s, C, W, U, sigma, offset,
+                                                fast=True))(S)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=2e-2, atol=2e-4)
