@@ -17,6 +17,7 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
@@ -27,6 +28,10 @@ OUTER = 50
 INNER = 5
 GRID, BANDS, RANK = 51, 64, 2
 MEAN, STD = 0.0045, 0.008
+# QSC_BENCH_FUSED=0 keeps the XLA-fused jnp path (compiles in ~2-4 min via
+# the axon tunnel); =1 uses the Pallas kernel (fwd+bwd kernels add ~15 min
+# of remote Mosaic compile on this tunnel; steady-state per-step is faster)
+USE_FUSED = os.environ.get("QSC_BENCH_FUSED", "0") == "1"
 
 
 def jax_maps_per_sec() -> float:
@@ -50,7 +55,8 @@ def jax_maps_per_sec() -> float:
     C0 = jnp.full((BATCH, RANK, BANDS), 0.01)
 
     solve = jax.jit(jax.vmap(
-        lambda t, s, c: recover_lowrank_mle(t, s, c, scfg, MEAN, STD)))
+        lambda t, s, c: recover_lowrank_mle(t, s, c, scfg, MEAN, STD,
+                                            use_fused=USE_FUSED)))
     # warm-up / compile
     jax.block_until_ready(solve(T_obs, S0, C0).costs)
     t0 = time.time()

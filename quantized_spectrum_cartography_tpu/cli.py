@@ -68,24 +68,10 @@ def _cmd_recover(args):
         res = recover_lowrank_mle(T_obs, S0, C0, scfg, prob.mean_slf,
                                   args.std, T_true=prob.T_true)
     elif args.solver in ("mle-gan", "dowjons"):
-        from quantized_spectrum_cartography_tpu.models import Generator256
         from quantized_spectrum_cartography_tpu.solvers import (
-            make_generator_apply, recover_dowjons, recover_mle_gan)
-        from quantized_spectrum_cartography_tpu.training import load_checkpoint
+            recover_dowjons, recover_mle_gan)
 
-        g = Generator256()
-        if args.prior_checkpoint:
-            state = load_checkpoint(args.prior_checkpoint)
-            scale = float(state.pop("scale", 1.0))
-            gvars = {"params": state["params"],
-                     "batch_stats": state["batch_stats"]}
-        else:
-            print("warning: no --prior-checkpoint; using untrained prior",
-                  file=sys.stderr)
-            gvars = g.init(key, jnp.zeros((1, 256)), train=False)
-            scale = 1.0
-        raw = make_generator_apply(g, gvars)
-        gen = (lambda Z: raw(Z) / scale) if scale != 1.0 else raw
+        gen, z_dim = _load_prior(args, key)
         qcfg = QuantizerConfig(boundaries=B.QUANTIZATION_BOUNDARIES_4_BINS,
                                noise_std=args.std if args.std > 0.1 else 5.0,
                                log_offset=B.LOG_OFFSET_4)
@@ -95,7 +81,7 @@ def _cmd_recover(args):
                          qcfg.log_offset)
         mask = sample_entry_mask(jax.random.fold_in(key, 3),
                                  Y.shape, args.fraction)
-        scfg = SolverConfig(max_iters=args.iters)
+        scfg = SolverConfig(max_iters=args.iters, z_dim=z_dim)
         fn = recover_mle_gan if args.solver == "mle-gan" else recover_dowjons
         res = fn(jax.random.fold_in(key, 4), Y, mask, gen, scfg, qcfg,
                  num_emitters=R, T_true=prob.T_true)
@@ -111,6 +97,54 @@ def _cmd_recover(args):
         np.savez(args.out, S=np.asarray(res.S), C=np.asarray(res.C),
                  T_hat=np.asarray(res.T_hat), nmses=np.asarray(res.nmses),
                  costs=np.asarray(res.costs))
+
+
+def _load_prior(args, key):
+    """Build the deep-prior generator fn from --prior-kind/--prior-checkpoint.
+
+    'gan' loads a Generator256 checkpoint (training/gan_trainer.py layout);
+    'vae' a VAE checkpoint whose decoder becomes G (the better-scoring
+    prior: completion NMSE_S ~0.20 vs ~0.50 for the SNGAN at equal budget).
+    """
+    import jax
+    import jax.numpy as jnp
+    from quantized_spectrum_cartography_tpu.solvers import make_generator_apply
+    from quantized_spectrum_cartography_tpu.training import load_checkpoint
+
+    kind = getattr(args, "prior_kind", "vae")
+    if kind == "gan":
+        from quantized_spectrum_cartography_tpu.models import Generator256
+
+        g = Generator256()
+        if args.prior_checkpoint:
+            state = load_checkpoint(args.prior_checkpoint)
+            scale = float(state.pop("scale", 1.0))
+            gvars = {"params": state["params"],
+                     "batch_stats": state["batch_stats"]}
+        else:
+            print("warning: no --prior-checkpoint; using untrained prior",
+                  file=sys.stderr)
+            gvars = g.init(key, jnp.zeros((1, 256)), train=False)
+            scale = 1.0
+        raw = make_generator_apply(g, gvars)
+        return ((lambda Z: raw(Z) / scale) if scale != 1.0 else raw), 256
+
+    if kind == "vae":
+        from quantized_spectrum_cartography_tpu.models import VAE
+
+        path = args.prior_checkpoint or "checkpoints/vae_best/final"
+        state = load_checkpoint(path)
+        latent = int(state.pop("latent_dim", 64))
+        beta = float(state.pop("beta", 0.5))
+        amp = float(state.pop("amp", 0.26))
+        vae = VAE(latent_dim=latent, beta=beta)
+
+        def gen(Z):
+            out = vae.apply(state, Z, train=False, method=VAE.decode)
+            return out[..., 0] * amp
+
+        return gen, latent
+    raise SystemExit(f"unknown prior kind {kind}")
 
 
 def _cmd_train_prior(args):
@@ -184,6 +218,7 @@ def main(argv=None):
     pr.add_argument("--std", type=float, default=0.008)
     pr.add_argument("--iters", type=int, default=100)
     pr.add_argument("--prior-checkpoint", default=None)
+    pr.add_argument("--prior-kind", choices=["gan", "vae"], default="vae")
     pr.add_argument("--out", default=None)
     pr.add_argument("--seed", type=int, default=0)
     pr.set_defaults(fn=_cmd_recover)

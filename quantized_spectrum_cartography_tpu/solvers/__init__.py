@@ -19,3 +19,8 @@ from quantized_spectrum_cartography_tpu.solvers.completion import (  # noqa: F40
     recover_masked_mse,
 )
 from quantized_spectrum_cartography_tpu.solvers.nasdac import recover_nasdac  # noqa: F401
+from quantized_spectrum_cartography_tpu.solvers.vae_prior import (  # noqa: F401
+    encoder_init,
+    load_vae_prior,
+    make_vae_generator,
+)

@@ -149,3 +149,25 @@ def test_profiling_helpers():
     r = likelihood_roofline(256, 64, 2688, 2, measured_us=3000.0)
     assert 0 < r["pct_hbm_peak"] < 100
     assert r["bound"] in ("bandwidth", "compute")
+
+
+def test_vae_prior_generator_and_encoder_init():
+    from quantized_spectrum_cartography_tpu.models import VAE
+    from quantized_spectrum_cartography_tpu.solvers import (
+        encoder_init,
+        make_vae_generator,
+    )
+
+    vae = VAE(latent_dim=8)
+    x = jnp.zeros((1, 51, 51, 2))
+    variables = vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1),
+                         train=False)
+    gen = make_vae_generator(variables, latent_dim=8)
+    out = gen(jnp.zeros((3, 8)))
+    assert out.shape == (3, 51, 51)
+    z0 = encoder_init(variables, jnp.ones((51, 51)),
+                      jnp.zeros((51, 51)), latent_dim=8)
+    assert z0.shape == (1, 8)
+    z0r = encoder_init(variables, jnp.ones((51, 51)),
+                       jnp.zeros((2, 51, 51)), latent_dim=8)
+    assert z0r.shape == (2, 8)
