@@ -35,6 +35,9 @@ class VAETrainConfig:
     lr_decay_rate: float = 0.5
     steps: int = 10000
     scale: float = 50.0
+    kl_warmup_steps: int = 3000   # anneal the KL weight 0 -> beta: without
+                                  # it most seeds posterior-collapse (decoder
+                                  # ignores z and emits the mean map)
 
 
 def train_vae(
@@ -59,20 +62,23 @@ def train_vae(
     sampler = make_slf_sampler(physics)
     bcfg = SLFBatchConfig(batch_size=cfg.batch_size, normalize_peak=True)
 
-    def loss_fn(params, batch_stats, inp, target, k):
+    def loss_fn(params, batch_stats, inp, target, k, kl_w):
         (recon, mean, logstd), mut = model.apply(
             {"params": params, "batch_stats": batch_stats}, inp, k,
             train=True, mutable=["batch_stats"])
-        total, bce, kl = model.loss(recon, target, mean, logstd)
+        _, bce, kl = model.loss(recon, target, mean, logstd)
+        total = bce + kl_w * cfg.beta * kl
         return total, (mut["batch_stats"], bce, kl)
 
     @jax.jit
-    def step(params, batch_stats, opt_state, k):
+    def step(params, batch_stats, opt_state, k, i):
         k1, k2, k3 = jax.random.split(k, 3)
         maps = sampler(k1, cfg.batch_size)
         inp, target = mask_batch(k2, maps, bcfg)
+        kl_w = jnp.clip(i / jnp.maximum(cfg.kl_warmup_steps, 1), 0.0, 1.0)
         (total, (batch_stats, bce, kl)), g = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch_stats, inp, target, k3)
+            loss_fn, has_aux=True)(params, batch_stats, inp, target, k3,
+                                   kl_w)
         up, opt_state = opt.update(g, opt_state, params)
         return (optax.apply_updates(params, up), batch_stats, opt_state,
                 total, bce, kl)
@@ -81,7 +87,7 @@ def train_vae(
     for i in range(cfg.steps):
         key, k = jax.random.split(key)
         params, batch_stats, opt_state, total, bce, kl = step(
-            params, batch_stats, opt_state, k)
+            params, batch_stats, opt_state, k, jnp.float32(i))
         if (i + 1) % log_every == 0:
             hist.append((i + 1, float(total), float(bce), float(kl)))
             log_fn(f"vae step {i+1}: loss {float(total):.4f} "
