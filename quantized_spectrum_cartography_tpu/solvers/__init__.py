@@ -24,3 +24,6 @@ from quantized_spectrum_cartography_tpu.solvers.vae_prior import (  # noqa: F401
     load_vae_prior,
     make_vae_generator,
 )
+from quantized_spectrum_cartography_tpu.solvers.calibrate import (  # noqa: F401
+    recalibrate_gain,
+)

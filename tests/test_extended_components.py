@@ -171,3 +171,20 @@ def test_vae_prior_generator_and_encoder_init():
     z0r = encoder_init(variables, jnp.ones((51, 51)),
                        jnp.zeros((2, 51, 51)), latent_dim=8)
     assert z0r.shape == (2, 8)
+
+
+def test_recalibrate_gain_recovers_true_scale(rng):
+    """Quantize gamma*T, hand the solver T: calibration must find gamma."""
+    import quantized_spectrum_cartography_tpu.ops.boundaries as B
+    from quantized_spectrum_cartography_tpu.ops.quantizer import quantize_log
+    from quantized_spectrum_cartography_tpu.solvers import recalibrate_gain
+
+    T = jnp.asarray(rng.uniform(0, 0.01, (16, 21, 21)).astype(np.float32))
+    bb = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_16_ADJUSTED))
+    offset, sigma = B.LOG_OFFSET_16_ADJUSTED, 0.3
+    gamma_true = 4.2
+    Y = quantize_log(jax.random.PRNGKey(0), gamma_true * T, sigma, bb, offset)
+    gamma, T_cal = recalibrate_gain(T, Y, bb, sigma, offset)
+    assert abs(float(gamma) - gamma_true) / gamma_true < 0.15
+    np.testing.assert_allclose(np.asarray(T_cal), float(gamma) * np.asarray(T),
+                               rtol=1e-6)
