@@ -57,14 +57,18 @@ def jax_maps_per_sec() -> float:
     solve = jax.jit(jax.vmap(
         lambda t, s, c: recover_lowrank_mle(t, s, c, scfg, MEAN, STD,
                                             use_fused=USE_FUSED)))
-    # warm-up / compile
-    jax.block_until_ready(solve(T_obs, S0, C0).costs)
+    # warm-up / compile.  NOTE: through the axon tunnel
+    # block_until_ready alone does not await remote execution; a host
+    # transfer (device_get of a scalar) is the only reliable fence.
+    float(jnp.sum(solve(T_obs, S0, C0).costs))
     t0 = time.time()
     reps = 3
+    acc = 0.0
     for _ in range(reps):
         res = solve(T_obs, S0, C0)
-    jax.block_until_ready(res.costs)
+        acc += float(jnp.sum(res.costs))     # forced completion fence
     dt = (time.time() - t0) / reps
+    assert acc == acc  # keep the fence live
     return BATCH / dt
 
 
