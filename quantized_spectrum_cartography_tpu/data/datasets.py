@@ -23,10 +23,6 @@ import jax
 import jax.numpy as jnp
 
 from quantized_spectrum_cartography_tpu.config import PhysicsConfig
-from quantized_spectrum_cartography_tpu.physics.shadowing import (
-    correlation_cholesky,
-)
-from quantized_spectrum_cartography_tpu.physics.simulator import sample_slf
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +39,14 @@ def make_slf_sampler(
     physics: PhysicsConfig = PhysicsConfig(),
 ) -> Callable[[jax.Array, int], jnp.ndarray]:
     """Pure fn (key, batch) -> SLFs [B, I, J] from the physics simulator."""
+    # deferred: physics.simulator imports data.fixtures (package cycle)
+    from quantized_spectrum_cartography_tpu.physics.shadowing import (
+        correlation_cholesky,
+    )
+    from quantized_spectrum_cartography_tpu.physics.simulator import (
+        sample_slf,
+    )
+
     chol = jnp.asarray(correlation_cholesky(
         physics.grid_size, physics.decorrelation_distance))
 
@@ -105,3 +109,37 @@ def gan_sample_batch(
     `GANSample` dataset (slf_dataset.py:30-67)."""
     z = jax.random.normal(key, (batch, z_dim))
     return gen_apply(z), z
+
+
+def boundaries_from_samples(
+    key: jax.Array,
+    num_bins: int = 8,
+    num_samples: int = 10000,
+    log_domain: bool = False,
+    log_offset: float = 1e-10,
+    physics: PhysicsConfig = PhysicsConfig(),
+):
+    """Estimate equal-count bin boundaries from simulator-drawn SLFs.
+
+    Reference `get_boundaries_from_samples` (qmc/utils.py:76-90) draws 10k
+    maps through a DataLoader over a /scratch file dataset; here the maps
+    come straight from the on-device simulator (no file dataset needed).
+    Returns (boundaries [num_bins+1], min-gap std) like `_find_boundaries`.
+    """
+    from quantized_spectrum_cartography_tpu.ops.boundaries import (
+        find_boundaries,
+    )
+
+    sampler = make_slf_sampler(physics)
+    chunk = min(num_samples, 512)
+    vals = []
+    n = 0
+    while n < num_samples:
+        key, k = jax.random.split(key)
+        S = sampler(k, chunk)
+        vals.append(S.reshape(-1))
+        n += chunk
+    samples = jnp.concatenate(vals)
+    if log_domain:
+        samples = jnp.log(samples + log_offset)
+    return find_boundaries(samples, num_bins=num_bins)

@@ -24,6 +24,7 @@ from quantized_spectrum_cartography_tpu.ops.lowrank import (  # noqa: F401
     outer,
     project_nonneg,
     project_rank,
+    project_rank_subspace,
 )
 from quantized_spectrum_cartography_tpu.ops.metrics import (  # noqa: F401
     nmse,

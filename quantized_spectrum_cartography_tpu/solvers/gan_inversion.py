@@ -80,15 +80,24 @@ def run_onebit_inversion(
                   (one_bit_gan.ipynb cell 6, sigmoid link)
       'probit'  — probit-link BCE with noise std (cell 11 family)
       'balevi'  — -lambda * sum(y_pm1 * (G(z)-mean)), y_quant in {-1,+1}
+      'balevi-nuc' — Balevi correlation + nuclear norm of the map
+                  (onebit.ipynb cell 2 `BaleviLoss`: sum of singular values
+                  as a convex low-rank surrogate)
 
     Returns (S_hat [I, J], z, losses).
     """
-    if loss_criterion == "balevi":
+    if loss_criterion in ("balevi", "balevi-nuc"):
+        nuc = loss_criterion == "balevi-nuc"
+
         def loss_of_map(S):
             r = S - mean
             if mask is not None:
                 r = r * mask
-            return -balevi_lambda * jnp.sum(y_quant * r)
+            cost = -balevi_lambda * jnp.sum(y_quant * r)
+            if nuc:
+                cost = cost + jnp.sum(
+                    jnp.linalg.svd(S, compute_uv=False))
+            return cost
     elif loss_criterion in ("bce", "probit"):
         probit = loss_criterion == "probit"
 

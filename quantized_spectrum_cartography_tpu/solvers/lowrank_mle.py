@@ -23,6 +23,7 @@ from quantized_spectrum_cartography_tpu.ops.lowrank import (
     pad_spatial,
     project_nonneg,
     project_rank,
+    project_rank_subspace,
     safe_fro,
 )
 from quantized_spectrum_cartography_tpu.ops.pallas import (
@@ -89,7 +90,10 @@ def recover_lowrank_mle(
             )
 
     def project(S, C):
-        S = project_rank(S, cfg.rank_truncation)
+        if cfg.projection_method == "subspace":
+            S = project_rank_subspace(S, cfg.rank_truncation)
+        else:
+            S = project_rank(S, cfg.rank_truncation)
         C = project_nonneg(C)
         if cfg.nonneg_slf:
             S = project_nonneg(S)

@@ -57,6 +57,27 @@ def test_project_rank(rng):
     np.testing.assert_allclose(out2, lowS, atol=1e-3)
 
 
+def test_project_rank_subspace_matches_svd(rng):
+    # SLF-like fast-decaying spectrum: randomized subspace projection must
+    # agree with exact SVD truncation to well under the truncation error
+    U = rng.normal(size=(8, 51, 12))
+    V = rng.normal(size=(8, 12, 51))
+    sv = np.exp(-np.arange(12) * 0.7)
+    S = jnp.asarray(((U * sv) @ V + 1e-3 * rng.normal(size=(8, 51, 51)))
+                    .astype(np.float32))
+    exact = np.asarray(LR.project_rank(S, 10))
+    fast = np.asarray(LR.project_rank_subspace(S, 10))
+    rel = np.linalg.norm(fast - exact) / np.linalg.norm(exact)
+    assert rel < 2e-2, rel
+    for r in range(8):
+        assert np.linalg.matrix_rank(fast[r], tol=1e-3) <= 10
+    # already low-rank input passes through (near-)unchanged
+    lowS = (rng.normal(size=(2, 51, 3)) @
+            rng.normal(size=(2, 3, 51))).astype(np.float32)
+    out = np.asarray(LR.project_rank_subspace(jnp.asarray(lowS), 10))
+    np.testing.assert_allclose(out, lowS, atol=1e-3)
+
+
 def test_pad_spatial():
     x = jnp.ones((4, 2601))
     p = LR.pad_spatial(x)

@@ -78,7 +78,8 @@ def jax_run(seed):
     T_obs = dither_probit(key, prob.T_true - MEAN, STD)
     scfg = SolverConfig(max_iters=OUTER, s_inner_iters=INNER,
                         c_inner_iters=INNER, lr_s=LR, lr_c=LR,
-                        projection_interval=5, rank_truncation=10)
+                        projection_interval=5, rank_truncation=10,
+                        projection_method="svd")  # parity: torch.svd semantics
     S0 = 0.01 * jax.random.normal(jax.random.fold_in(key, 1), (R, I, J))
     C0 = 0.01 * jax.random.uniform(jax.random.fold_in(key, 2), (R, K))
     res = recover_lowrank_mle(T_obs, S0, C0, scfg, MEAN, STD,
