@@ -28,10 +28,14 @@ OUTER = 50
 INNER = 5
 GRID, BANDS, RANK = 51, 64, 2
 MEAN, STD = 0.0045, 0.008
-# QSC_BENCH_FUSED=0 keeps the XLA-fused jnp path (compiles in ~2-4 min via
-# the axon tunnel); =1 uses the Pallas kernel (fwd+bwd kernels add ~15 min
-# of remote Mosaic compile on this tunnel; steady-state per-step is faster)
-USE_FUSED = os.environ.get("QSC_BENCH_FUSED", "0") == "1"
+# QSC_BENCH_FUSED=1 uses the Pallas fused kernel (measured 147 maps/s; the
+# fwd+bwd Mosaic kernels add ~15 min of remote compile on the axon tunnel);
+# =0 uses the XLA analytic-VJP path (73 maps/s, ~3 min compile).  Unset:
+# try the Pallas path in a watchdogged subprocess and fall back to the XLA
+# path if it times out or fails (tunnel compile latency is highly variable).
+FUSED_ENV = os.environ.get("QSC_BENCH_FUSED")
+USE_FUSED = FUSED_ENV == "1"
+FUSED_WATCHDOG_SECS = int(os.environ.get("QSC_BENCH_FUSED_TIMEOUT", "2700"))
 
 
 def jax_maps_per_sec() -> float:
@@ -94,26 +98,49 @@ def torch_maps_per_sec() -> float:
         return bce(z.clamp(1e-6, 1 - 1e-6), T_obs) + \
             0.01 * torch.norm(C, "fro")
 
-    t0 = time.time()
-    for i in range(OUTER):
-        for _ in range(INNER):
-            opt_s.zero_grad(); opt_c.zero_grad()
-            c = cost(); c.backward(); opt_s.step()
-        for _ in range(INNER):
-            opt_s.zero_grad(); opt_c.zero_grad()
-            c = cost(); c.backward(); opt_c.step()
-        if (i + 1) % 5 == 0:
-            with torch.no_grad():
-                u, s, v = torch.svd(S)
-                s[:, 10:] = 0
-                S.copy_(u @ torch.diag_embed(s) @ v.transpose(-2, -1))
-                C.clamp_(min=0)
-    dt = time.time() - t0
-    return 1.0 / dt
+    # best-of-2 full runs: the CPU baseline is sensitive to transient host
+    # load, and an artificially slow baseline would inflate vs_baseline
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for i in range(OUTER):
+            for _ in range(INNER):
+                opt_s.zero_grad(); opt_c.zero_grad()
+                c = cost(); c.backward(); opt_s.step()
+            for _ in range(INNER):
+                opt_s.zero_grad(); opt_c.zero_grad()
+                c = cost(); c.backward(); opt_c.step()
+            if (i + 1) % 5 == 0:
+                with torch.no_grad():
+                    u, s, v = torch.svd(S)
+                    s[:, 10:] = 0
+                    S.copy_(u @ torch.diag_embed(s) @ v.transpose(-2, -1))
+                    C.clamp_(min=0)
+        best = min(best, time.time() - t0)
+    return 1.0 / best
 
 
 def main():
     sys.path.insert(0, "/root/repo")
+    if FUSED_ENV is None:
+        # parent: try the faster Pallas path in a subprocess so a Mosaic
+        # compile stall cannot wedge the whole benchmark
+        import subprocess
+        env = dict(os.environ, QSC_BENCH_FUSED="1")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True,
+                timeout=FUSED_WATCHDOG_SECS)
+            for line in out.stdout.splitlines():
+                line = line.strip()
+                if line.startswith("{"):
+                    json.loads(line)   # validate
+                    print(line)
+                    return
+        except (subprocess.TimeoutExpired, json.JSONDecodeError, OSError):
+            pass
+        # fall through to the XLA path in-process
     jax_rate = jax_maps_per_sec()
     try:
         torch_rate = torch_maps_per_sec()
@@ -121,7 +148,8 @@ def main():
         torch_rate = float("nan")
     out = {
         "metric": "maps/sec, batched 1-bit 51x51x64 low-rank MLE recovery "
-                  f"(B={BATCH}, {OUTER}x2x{INNER} Adam steps, 1 chip)",
+                  f"(B={BATCH}, {OUTER}x2x{INNER} Adam steps, 1 chip, "
+                  f"{'pallas' if USE_FUSED else 'xla'} likelihood)",
         "value": round(jax_rate, 3),
         "unit": "maps/sec",
         "vs_baseline": round(jax_rate / torch_rate, 2)

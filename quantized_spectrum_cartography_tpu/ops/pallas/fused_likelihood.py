@@ -242,7 +242,15 @@ def pack_bounds_1bit(
 # public entry point with custom VJP
 # --------------------------------------------------------------------------
 
-def _use_pallas() -> bool:
+def _use_pallas(mode: str = "auto") -> bool:
+    """mode: 'auto' (Pallas iff on TPU), 'pallas' (force), 'xla' (force the
+    pure-jnp analytic-VJP path even on TPU — same math and custom backward,
+    compiled by XLA instead of Mosaic; useful where the remote Mosaic
+    compile latency outweighs the kernel's steady-state win)."""
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
     return jax.default_backend() == "tpu"
 
 
@@ -302,7 +310,7 @@ def fused_nll_reference(S_flat, C, W, U, sigma, offset, linear=False,
     return _nll_jnp(S_flat, C, W, U, sigma, offset, linear, fast)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def fused_quantized_nll(
     S_flat: jnp.ndarray,     # [R, IJp]
     C: jnp.ndarray,          # [K, R]
@@ -313,6 +321,7 @@ def fused_quantized_nll(
     interpret: bool = False,
     linear: bool = False,
     fast: Optional[bool] = None,
+    mode: str = "auto",
 ) -> jnp.ndarray:
     """Masked quantized-observation NLL of factors (S, C); scalar.
 
@@ -325,22 +334,23 @@ def fused_quantized_nll(
     Differentiable in S_flat and C via the fused analytic backward pass.
     """
     fast = _fast_ok(sigma) if fast is None else fast
-    if _use_pallas() or interpret:
+    if _use_pallas(mode) or interpret:
         return _fwd_pallas(S_flat, C, W, U, sigma, offset, linear, fast,
                            interpret=interpret)
     return _nll_jnp(S_flat, C, W, U, sigma, offset, linear, fast)
 
 
-def _vjp_fwd(S_flat, C, W, U, sigma, offset, interpret, linear, fast):
+def _vjp_fwd(S_flat, C, W, U, sigma, offset, interpret, linear, fast,
+             mode="auto"):
     out = fused_quantized_nll(S_flat, C, W, U, sigma, offset, interpret,
-                              linear, fast)
+                              linear, fast, mode)
     return out, (S_flat, C, W, U)
 
 
-def _vjp_bwd(sigma, offset, interpret, linear, fast, res, g):
+def _vjp_bwd(sigma, offset, interpret, linear, fast, mode, res, g):
     S_flat, C, W, U = res
     fast = _fast_ok(sigma) if fast is None else fast
-    if _use_pallas() or interpret:
+    if _use_pallas(mode) or interpret:
         dS, dC = _bwd_pallas(S_flat, C, W, U, g, sigma, offset, linear,
                              fast, interpret=interpret)
     else:

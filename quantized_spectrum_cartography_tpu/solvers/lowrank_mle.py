@@ -17,7 +17,12 @@ import jax.numpy as jnp
 import optax
 
 from quantized_spectrum_cartography_tpu.config import SolverConfig
-from quantized_spectrum_cartography_tpu.ops.likelihood import neg_likelihood_1bit
+from quantized_spectrum_cartography_tpu.ops.likelihood import (
+    _SIGMA_EFF,
+    neg_likelihood_1bit,
+    onebit_nll_factors,
+    pack_sign_mask,
+)
 from quantized_spectrum_cartography_tpu.ops.lowrank import (
     get_tensor,
     pad_spatial,
@@ -51,6 +56,7 @@ def recover_lowrank_mle(
     l2: float = 0.01,
     joint: bool = False,
     use_fused: bool = True,
+    nll_mode: str = "auto",
 ) -> RecoveryResult:
     """Recover (S, C) from 1-bit observations T_obs in {0, 1}.
 
@@ -77,8 +83,22 @@ def recover_lowrank_mle(
         def cost_fn(S, C):
             S_flat = pad_spatial(S.reshape(R, -1))
             nll = fused_quantized_nll(
-                S_flat, C.T, Wp, Up, std, 0.0, False, True)
+                S_flat, C.T, Wp, Up, std, 0.0, False, True, None, nll_mode)
             return nll / count + l1 * safe_fro(S) + l2 * safe_fro(C)
+    elif probit:
+        # XLA fast path: analytic custom-VJP NLL over the factors (no
+        # autodiff residuals; int8 sign-mask).  Same value/gradient as the
+        # generic path below (tests/test_likelihood.py).
+        sm = pack_sign_mask(T_obs, mask)
+        inv_s = jnp.float32(1.0 / (std * _SIGMA_EFF))
+        inv_count = 1.0 / (jnp.maximum(jnp.sum(mask), 1.0) if mask is not None
+                           else jnp.float32(T_obs.size))
+
+        def cost_fn(S, C):
+            nll = onebit_nll_factors(
+                S if S.ndim == 3 else S[:, 0],
+                C, sm, jnp.float32(mean), inv_s, inv_count)
+            return nll + l1 * safe_fro(S) + l2 * safe_fro(C)
     else:
         def cost_fn(S, C):
             T_hat = get_tensor(S, C)

@@ -64,12 +64,15 @@ def recover_mle_gan(
     num_emitters: int = 2,
     T_true: Optional[jnp.ndarray] = None,
     use_fused: bool = True,
+    nll_mode: str = "auto",
 ) -> RecoveryResult:
     """Recover (S = G(Z), C) from ordinal observations Y [K, I, J].
 
-    use_fused=True routes the likelihood through the fused Pallas kernel
-    (ops/pallas/fused_likelihood.py; identical jnp math on non-TPU
-    backends); False keeps the generic gather-based path.
+    use_fused=True routes the likelihood through the fused analytic-VJP
+    kernel (ops/pallas/fused_likelihood.py); False keeps the generic
+    gather-based path.  nll_mode picks the fused backend: 'auto' = Pallas
+    on TPU / jnp elsewhere, 'xla' = the same math + analytic backward
+    compiled by XLA (skips the Mosaic kernel compile), 'pallas' = force.
     """
     K = Y.shape[0]
     bb = jnp.asarray(qcfg.boundaries, jnp.float32)
@@ -95,7 +98,8 @@ def recover_mle_gan(
     if use_fused:
         def nll(S, C):
             S_flat = pad_spatial(S.reshape(R, -1))
-            return fused_quantized_nll(S_flat, C.T, Wp, Up, std, offset)
+            return fused_quantized_nll(S_flat, C.T, Wp, Up, std, offset,
+                                       False, False, None, nll_mode)
     else:
         def nll(S, C):
             x = jnp.log(get_tensor(S, C) + offset)

@@ -101,3 +101,45 @@ def test_deterministic_cost(rng):
     Tm = np.asarray(T_hat) - 0.1
     want = -0.001 * (Tm * np.asarray(T_t)).sum() + np.linalg.norm(Tm.ravel())
     np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_onebit_nll_factors_value_and_grad(rng):
+    # custom-VJP factor NLL == autodiff of the generic composition, value
+    # and gradients, with and without a mask
+    from quantized_spectrum_cartography_tpu.ops.lowrank import get_tensor
+
+    R, K, I, J = 2, 6, 9, 9
+    mean, std = 0.0045, 0.008
+    S = jnp.asarray(rng.uniform(0, 0.02, (R, I, J)), jnp.float32)
+    C = jnp.asarray(rng.uniform(0, 1, (R, K)), jnp.float32)
+    t = jnp.asarray(rng.integers(0, 2, (K, I, J)), jnp.float32)
+    for mask in (None, jnp.asarray(rng.integers(0, 2, (K, I, J)), jnp.float32)):
+        sm = L.pack_sign_mask(t, mask)
+        assert sm.dtype == jnp.int8
+        inv_s = jnp.float32(1.0 / (std * L._SIGMA_EFF))
+        inv_count = (1.0 / jnp.maximum(jnp.sum(mask), 1.0) if mask is not None
+                     else jnp.float32(1.0 / t.size))
+
+        def fast(S, C):
+            return L.onebit_nll_factors(S, C, sm, jnp.float32(mean),
+                                        inv_s, inv_count)
+
+        def ref(S, C):
+            return L.neg_likelihood_1bit(get_tensor(S, C), t, mean, std,
+                                         probit=True, mask=mask)
+
+        v1, (g1S, g1C) = jax.value_and_grad(fast, (0, 1))(S, C)
+        v2, (g2S, g2C) = jax.value_and_grad(ref, (0, 1))(S, C)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1S), np.asarray(g2S),
+                                   rtol=2e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(g1C), np.asarray(g2C),
+                                   rtol=2e-4, atol=1e-7)
+    # vmappable (batched solver path)
+    B = 3
+    Sb = jnp.stack([S] * B); Cb = jnp.stack([C] * B)
+    smb = jnp.stack([L.pack_sign_mask(t)] * B)
+    vb = jax.vmap(lambda s, c, m: L.onebit_nll_factors(
+        s, c, m, jnp.float32(mean), jnp.float32(1.0 / (std * L._SIGMA_EFF)),
+        jnp.float32(1.0 / t.size)))(Sb, Cb, smb)
+    assert vb.shape == (B,)
