@@ -13,6 +13,7 @@ MATLAB scripts (SURVEY.md section 1).  Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 
@@ -50,19 +51,29 @@ def _cmd_recover(args):
     from quantized_spectrum_cartography_tpu.solvers import (
         recover_lowrank_mle)
 
-    key = jax.random.PRNGKey(args.seed)
+    file_cfg = None
+    if args.config:
+        from quantized_spectrum_cartography_tpu.config import (
+            load_config_file)
+        file_cfg = load_config_file(args.config)
+
+    key = jax.random.PRNGKey(file_cfg.seed if file_cfg else args.seed)
+    pcfg = file_cfg.physics if file_cfg else PhysicsConfig()
     if args.fixture:
         prob = load_onebit_fixture(args.fixture)
     else:
         prob = generate_onebit_problem(
-            key, PhysicsConfig(), sample_fraction=args.fraction)
+            key, pcfg,
+            sample_fraction=(file_cfg.solver.sample_fraction
+                             if file_cfg else args.fraction))
     R, I, J, K = prob.shape
 
     if args.solver == "lowrank":
         T_obs = dither_probit(
             jax.random.fold_in(key, 1), prob.T_true - prob.mean_slf, args.std)
-        scfg = SolverConfig(max_iters=args.iters, s_inner_iters=5,
-                            c_inner_iters=5, lr_s=0.001, lr_c=0.001)
+        scfg = file_cfg.solver if file_cfg else SolverConfig(
+            max_iters=args.iters, s_inner_iters=5,
+            c_inner_iters=5, lr_s=0.001, lr_c=0.001)
         S0 = jnp.zeros((R, I, J))
         C0 = jnp.full((R, K), 0.01)
         res = recover_lowrank_mle(T_obs, S0, C0, scfg, prob.mean_slf,
@@ -72,16 +83,22 @@ def _cmd_recover(args):
             recover_dowjons, recover_mle_gan)
 
         gen, z_dim = _load_prior(args, key)
-        qcfg = QuantizerConfig(boundaries=B.QUANTIZATION_BOUNDARIES_4_BINS,
-                               noise_std=args.std if args.std > 0.1 else 5.0,
-                               log_offset=B.LOG_OFFSET_4)
+        if file_cfg and file_cfg.quantizer.num_bins > 0:
+            qcfg = file_cfg.quantizer
+        else:
+            qcfg = QuantizerConfig(
+                boundaries=B.QUANTIZATION_BOUNDARIES_4_BINS,
+                noise_std=args.std if args.std > 0.1 else 5.0,
+                log_offset=B.LOG_OFFSET_4)
         Y = quantize_log(jax.random.fold_in(key, 2), prob.T_true,
                          qcfg.noise_std,
                          jnp.asarray(np.array(qcfg.boundaries)),
                          qcfg.log_offset)
         mask = sample_entry_mask(jax.random.fold_in(key, 3),
                                  Y.shape, args.fraction)
-        scfg = SolverConfig(max_iters=args.iters, z_dim=z_dim)
+        scfg = (dataclasses.replace(file_cfg.solver, z_dim=z_dim)
+                if file_cfg else SolverConfig(max_iters=args.iters,
+                                              z_dim=z_dim))
         fn = recover_mle_gan if args.solver == "mle-gan" else recover_dowjons
         res = fn(jax.random.fold_in(key, 4), Y, mask, gen, scfg, qcfg,
                  num_emitters=R, T_true=prob.T_true)
@@ -221,6 +238,9 @@ def main(argv=None):
     pr.add_argument("--prior-kind", choices=["gan", "vae"], default="vae")
     pr.add_argument("--out", default=None)
     pr.add_argument("--seed", type=int, default=0)
+    pr.add_argument("--config", default=None,
+                    help="INI/JSON config file ([physics] [quantizer] "
+                         "[solver] sections); overrides the flag defaults")
     pr.set_defaults(fn=_cmd_recover)
 
     pt = sub.add_parser("train-prior", help="train GAN/AE/VAE prior")

@@ -99,3 +99,102 @@ class ProblemConfig:
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
     seed: int = 0
+
+
+# --------------------------------------------------------------------------
+# Config-file loading (INI / JSON)
+# --------------------------------------------------------------------------
+
+_SECTION_TYPES = {
+    "physics": PhysicsConfig,
+    "quantizer": QuantizerConfig,
+    "solver": SolverConfig,
+    "mesh": MeshConfig,
+}
+
+
+def _coerce(raw: str, typ):
+    """Coerce an INI string to a dataclass field type (the reference's
+    ConfigParser wrappers str_to_int_list/str_to_tuple_list live at
+    deep_prior/networks/utils/utils.py:56-112; here field types drive the
+    parse)."""
+    import typing
+
+    origin = typing.get_origin(typ)
+    if origin is typing.Union:  # Optional[...]
+        args = [a for a in typing.get_args(typ) if a is not type(None)]
+        if raw.lower() in ("none", "null", ""):
+            return None
+        return _coerce(raw, args[0])
+    if origin in (tuple, list):
+        parts = [p for p in raw.replace(",", " ").split() if p]
+        sub = typing.get_args(typ)[0] if typing.get_args(typ) else float
+        vals = [_coerce(p, sub) for p in parts]
+        return tuple(vals) if origin is tuple else vals
+    if typ is bool or typ == "bool":
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    if typ is int or typ == "int":
+        return int(raw)
+    if typ is float or typ == "float":
+        return float(raw)
+    return raw
+
+
+def _build_section(cls, entries: dict):
+    import typing
+
+    # resolve "from __future__ import annotations" string annotations
+    hints = typing.get_type_hints(cls)
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, val in entries.items():
+        name = key.replace("-", "_")
+        if name not in fields:
+            raise ValueError(
+                f"unknown {cls.__name__} field '{key}' in config file")
+        typ = hints[name]
+        if isinstance(val, str):
+            val = _coerce(val, typ)
+        elif isinstance(val, list):
+            val = tuple(val) if "Tuple" in str(typ) or "tuple" in str(typ) \
+                else val
+        kwargs[name] = val
+    return cls(**kwargs)
+
+
+def load_config_file(path: str) -> ProblemConfig:
+    """Build a ProblemConfig from an INI or JSON file.
+
+    INI sections / JSON top-level keys: [physics] [quantizer] [solver]
+    [mesh], plus an optional 'seed'.  Unknown fields raise (typo safety).
+    Replaces the reference's ConfigParser+argparse pipeline
+    (deep_prior/networks/utils/interface.py:7-126) with typed parsing
+    driven by the dataclass field types.
+    """
+    import json as _json
+    import os
+
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    sections: dict = {}
+    seed = 0
+    if path.endswith(".json"):
+        data = _json.load(open(path))
+        seed = int(data.pop("seed", 0))
+        sections = data
+    else:
+        import configparser
+
+        cp = configparser.ConfigParser()
+        cp.read(path)
+        for sec in cp.sections():
+            if sec == "general":
+                seed = cp.getint("general", "seed", fallback=0)
+                continue
+            sections[sec] = dict(cp.items(sec))
+    kwargs = {}
+    for name, entries in sections.items():
+        if name not in _SECTION_TYPES:
+            raise ValueError(f"unknown config section '{name}'")
+        kwargs[name] = _build_section(_SECTION_TYPES[name], entries)
+    return ProblemConfig(seed=seed, **kwargs)

@@ -28,3 +28,8 @@ from quantized_spectrum_cartography_tpu.models.vae import VAE, betaVAE  # noqa: 
 from quantized_spectrum_cartography_tpu.models.layers import (  # noqa: F401
     total_variation_loss,
 )
+from quantized_spectrum_cartography_tpu.models.aae import (  # noqa: F401
+    AAEDecoder,
+    AAEEncoder,
+    LatentDiscriminator,
+)

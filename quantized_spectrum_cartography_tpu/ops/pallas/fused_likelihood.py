@@ -369,3 +369,354 @@ def _vjp_bwd(sigma, offset, interpret, linear, fast, mode, res, g):
 
 
 fused_quantized_nll.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --------------------------------------------------------------------------
+# Coded-observation kernels: int8 bin codes instead of f32 (W, U) tensors
+# --------------------------------------------------------------------------
+#
+# The (W, U) layout reads 8 bytes per entry per pass for what is only a
+# few bits of information (the bin index).  These kernels read a single
+# int8 code tensor (bin index; code == nbins means masked/padded) and
+# reconstruct the boundary pair in-register from compile-time constants
+# with a select chain (nbins <= 16, so <= 2x15 VPU selects — far cheaper
+# than the 8x HBM traffic).  Forward/backward math is identical to the
+# (W, U) kernels above.
+
+_CODED_MAX_BINS = 32
+
+
+def pack_codes(
+    Y: jnp.ndarray,
+    num_bins: int,
+    mask: Optional[jnp.ndarray] = None,
+    lane_multiple: int = 128,
+) -> jnp.ndarray:
+    """int8 bin-code tensor [K, IJp] for the coded kernels.
+
+    Y [K,I,J] (or flat [K,IJ]) int bin indices in [0, num_bins); masked
+    and lane-padding entries get code == num_bins (exact no-op: logP = 0,
+    gradient = 0).  Do this ONCE per solve."""
+    if num_bins >= _CODED_MAX_BINS:
+        raise ValueError(f"num_bins {num_bins} > {_CODED_MAX_BINS}")
+    K = Y.shape[0]
+    Yf = Y.reshape(K, -1).astype(jnp.int32)
+    if mask is not None:
+        mf = mask.reshape(K, -1) > 0
+        Yf = jnp.where(mf, Yf, num_bins)
+    Yf = _pad_to(Yf, lane_multiple, num_bins)
+    return Yf.astype(jnp.int8)
+
+
+def pack_codes_1bit(
+    y01: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    lane_multiple: int = 128,
+) -> jnp.ndarray:
+    """1-bit observations as 2-bin codes: y=0 -> 0, y=1 -> 1, masked -> 2."""
+    K = y01.shape[0]
+    yf = (y01.reshape(K, -1) > 0.5).astype(jnp.int32)
+    if mask is not None:
+        mf = mask.reshape(K, -1) > 0
+        yf = jnp.where(mf, yf, 2)
+    yf = _pad_to(yf, lane_multiple, 2)
+    return yf.astype(jnp.int8)
+
+
+def _bounds_from_codes(codes_i32, bb_vals):
+    """(W, U) from int32 codes via compile-time select chains.
+
+    bb_vals: python tuple of nbins+1 boundary floats (first/last may be
+    +-MASK_SENTINEL already for unbounded outer bins).  code == nbins maps
+    to (-SENTINEL, +SENTINEL) => logP = 0 and zero gradient."""
+    n = len(bb_vals) - 1
+    W = jnp.full(codes_i32.shape, -MASK_SENTINEL, jnp.float32)
+    U = jnp.full(codes_i32.shape, MASK_SENTINEL, jnp.float32)
+    for i in range(n):
+        sel = codes_i32 == i
+        W = jnp.where(sel, jnp.float32(bb_vals[i]), W)
+        U = jnp.where(sel, jnp.float32(bb_vals[i + 1]), U)
+    return W, U
+
+
+def _fwd_kernel_coded(s_ref, c_ref, y_ref, out_ref, *, bb_vals, sigma,
+                      offset, linear, fast):
+    inv_s = 1.0 / (sigma * _SIGMA_EFF)
+    X = jnp.dot(c_ref[:], s_ref[:], preferred_element_type=jnp.float32)
+    x = X if linear else jnp.log(X + offset)
+    W, U = _bounds_from_codes(y_ref[:].astype(jnp.int32), bb_vals)
+    a = (W - x) * inv_s
+    b = (U - x) * inv_s
+    lp = _log_prob_fast(a, b) if fast else _log_prob(a, b)
+    out_ref[0, 0] = -jnp.sum(lp)
+
+
+def _bwd_kernel_coded(s_ref, c_ref, y_ref, g_ref, ds_ref, dc_ref,
+                      *, bb_vals, sigma, offset, linear, fast):
+    inv_s = 1.0 / (sigma * _SIGMA_EFF)
+    S = s_ref[:]
+    C = c_ref[:]
+    X = jnp.dot(C, S, preferred_element_type=jnp.float32)
+    Xo = X + offset
+    x = X if linear else jnp.log(Xo)
+    W, U = _bounds_from_codes(y_ref[:].astype(jnp.int32), bb_vals)
+    a = (W - x) * inv_s
+    b = (U - x) * inv_s
+    logP = _log_prob_fast(a, b) if fast else _log_prob(a, b)
+    dlogp = _dlogp_dx(a, b, logP, inv_s)
+    dX = -g_ref[0, 0] * (dlogp if linear else dlogp / Xo)
+    ds_ref[:] = jnp.dot(C.T, dX, preferred_element_type=jnp.float32)
+    dc_ref[:] = jnp.dot(dX, S.T, preferred_element_type=jnp.float32)
+
+
+def _coded_cost(K, R, IJp, bwd=False):
+    # int8 codes: 1 byte/entry; everything else as the (W,U) kernels
+    return pl.CostEstimate(
+        flops=(6 if bwd else 2) * K * R * IJp + (30 if bwd else 25) * K * IJp,
+        bytes_accessed=K * IJp * (1 + 4) + 4 * (K * R + R * IJp) * (2 if bwd else 1),
+        transcendentals=(5 if bwd else 4) * K * IJp)
+
+
+def _fwd_pallas_coded(S_flat, C, Yc, bb_vals, sigma, offset, linear, fast,
+                      interpret):
+    K, IJp = Yc.shape
+    R = S_flat.shape[0]
+    nll = pl.pallas_call(
+        functools.partial(_fwd_kernel_coded, bb_vals=bb_vals, sigma=sigma,
+                          offset=offset, linear=linear, fast=fast),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        interpret=interpret,
+        cost_estimate=_coded_cost(K, R, IJp),
+    )(S_flat, C, Yc)
+    return nll[0, 0]
+
+
+def _bwd_pallas_coded(S_flat, C, Yc, g, bb_vals, sigma, offset, linear,
+                      fast, interpret):
+    K, IJp = Yc.shape
+    R = S_flat.shape[0]
+    g2 = g.reshape(1, 1).astype(jnp.float32)
+    dS, dC = pl.pallas_call(
+        functools.partial(_bwd_kernel_coded, bb_vals=bb_vals, sigma=sigma,
+                          offset=offset, linear=linear, fast=fast),
+        out_shape=(jax.ShapeDtypeStruct((R, IJp), jnp.float32),
+                   jax.ShapeDtypeStruct((K, R), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+        cost_estimate=_coded_cost(K, R, IJp, bwd=True),
+    )(S_flat, C, Yc, g2)
+    return dS, dC
+
+
+def _nll_jnp_coded(S_flat, C, Yc, bb_vals, sigma, offset, linear, fast):
+    inv_s = 1.0 / (sigma * _SIGMA_EFF)
+    X = jnp.matmul(C, S_flat, precision=_HIGH)
+    x = X if linear else jnp.log(X + offset)
+    W, U = _bounds_from_codes(Yc.astype(jnp.int32), bb_vals)
+    a = (W - x) * inv_s
+    b = (U - x) * inv_s
+    lp = _log_prob_fast(a, b) if fast else _log_prob(a, b)
+    return -jnp.sum(lp)
+
+
+def onebit_bounds(mean: float) -> Tuple[float, float, float]:
+    """Boundary tuple for the 1-bit linear-link case (2 bins split at
+    `mean`): codes 0 -> (-inf, mean), 1 -> (mean, +inf)."""
+    return (-MASK_SENTINEL, float(mean), MASK_SENTINEL)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def fused_quantized_nll_coded(
+    S_flat: jnp.ndarray,      # [R, IJp]
+    C: jnp.ndarray,           # [K, R]
+    Yc: jnp.ndarray,          # [K, IJp] int8 codes from pack_codes*
+    bb_vals: Tuple[float, ...],
+    sigma: float,
+    offset: float,
+    interpret: bool = False,
+    linear: bool = False,
+    fast: Optional[bool] = None,
+    mode: str = "auto",
+) -> jnp.ndarray:
+    """Coded-observation variant of `fused_quantized_nll`: identical math,
+    1 byte of observation traffic per entry instead of 8.  bb_vals must be
+    a hashable python tuple of nbins+1 floats (compile-time constants);
+    use `onebit_bounds(mean)` for the 1-bit case."""
+    fast = _fast_ok(sigma) if fast is None else fast
+    if _use_pallas(mode) or interpret:
+        return _fwd_pallas_coded(S_flat, C, Yc, bb_vals, sigma, offset,
+                                 linear, fast, interpret=interpret)
+    return _nll_jnp_coded(S_flat, C, Yc, bb_vals, sigma, offset, linear,
+                          fast)
+
+
+def _vjp_fwd_coded(S_flat, C, Yc, bb_vals, sigma, offset, interpret,
+                   linear, fast, mode="auto"):
+    out = fused_quantized_nll_coded(S_flat, C, Yc, bb_vals, sigma, offset,
+                                    interpret, linear, fast, mode)
+    return out, (S_flat, C, Yc)
+
+
+def _vjp_bwd_coded(bb_vals, sigma, offset, interpret, linear, fast, mode,
+                   res, g):
+    S_flat, C, Yc = res
+    fast = _fast_ok(sigma) if fast is None else fast
+    if _use_pallas(mode) or interpret:
+        dS, dC = _bwd_pallas_coded(S_flat, C, Yc, g, bb_vals, sigma,
+                                   offset, linear, fast,
+                                   interpret=interpret)
+    else:
+        inv_s = 1.0 / (sigma * _SIGMA_EFF)
+        X = jnp.matmul(C, S_flat, precision=_HIGH)
+        Xo = X + offset
+        x = X if linear else jnp.log(Xo)
+        W, U = _bounds_from_codes(Yc.astype(jnp.int32), bb_vals)
+        a = (W - x) * inv_s
+        b = (U - x) * inv_s
+        logP = _log_prob_fast(a, b) if fast else _log_prob(a, b)
+        dlogp = _dlogp_dx(a, b, logP, inv_s)
+        dX = -g * (dlogp if linear else dlogp / Xo)
+        dS = jnp.matmul(C.T, dX, precision=_HIGH)
+        dC = jnp.matmul(dX, S_flat.T, precision=_HIGH)
+    return dS, dC, None
+
+
+fused_quantized_nll_coded.defvjp(_vjp_fwd_coded, _vjp_bwd_coded)
+
+
+# --------------------------------------------------------------------------
+# 1-bit specialized kernels: logPhi(sign * x), half the generic VPU work
+# --------------------------------------------------------------------------
+#
+# The generic ordinal kernel evaluates TWO _log_ndtr's plus a stable
+# log(1-e^d) per element; for 1-bit observations one boundary of every bin
+# is +-inf, so  logP = logPhi(sign * (X - mean)/s)  with sign in {-1,0,+1}
+# (0 = masked: logP and gradient exactly zero).  These kernels read the
+# same int8 codes as the coded ordinal kernels ({0,1,2=masked}) and run
+# one _log_ndtr forward / one _log_ndtr + one exp backward.
+
+def _sign_weight_from_codes(codes_i32):
+    sgn = jnp.where(codes_i32 == 1, 1.0, jnp.where(codes_i32 == 0, -1.0, 0.0))
+    return sgn
+
+
+def _fwd_kernel_1bit(s_ref, c_ref, y_ref, out_ref, *, mean, sigma):
+    inv_s = 1.0 / (sigma * _SIGMA_EFF)
+    X = jnp.dot(c_ref[:], s_ref[:], preferred_element_type=jnp.float32)
+    sgn = _sign_weight_from_codes(y_ref[:].astype(jnp.int32))
+    t = sgn * ((X - mean) * inv_s)
+    out_ref[0, 0] = -jnp.sum(jnp.abs(sgn) * _log_ndtr(t))
+
+
+def _bwd_kernel_1bit(s_ref, c_ref, y_ref, g_ref, ds_ref, dc_ref,
+                     *, mean, sigma):
+    inv_s = 1.0 / (sigma * _SIGMA_EFF)
+    S = s_ref[:]
+    C = c_ref[:]
+    X = jnp.dot(C, S, preferred_element_type=jnp.float32)
+    sgn = _sign_weight_from_codes(y_ref[:].astype(jnp.int32))
+    t = sgn * ((X - mean) * inv_s)
+    # hazard phi/Phi via exp(log phi - log Phi); t <= 0 on the active side
+    # keeps the exponent bounded (clamp guards the sgn=0 lanes)
+    ratio = jnp.exp(jnp.minimum(-0.5 * t * t - _LOG_SQRT_2PI - _log_ndtr(t),
+                                30.0))
+    dX = g_ref[0, 0] * (-inv_s) * sgn * ratio
+    ds_ref[:] = jnp.dot(C.T, dX, preferred_element_type=jnp.float32)
+    dc_ref[:] = jnp.dot(dX, S.T, preferred_element_type=jnp.float32)
+
+
+def _fwd_pallas_1bit(S_flat, C, Yc, mean, sigma, interpret):
+    K, IJp = Yc.shape
+    R = S_flat.shape[0]
+    nll = pl.pallas_call(
+        functools.partial(_fwd_kernel_1bit, mean=mean, sigma=sigma),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * K * R * IJp + 15 * K * IJp,
+            bytes_accessed=K * IJp * 5 + 4 * (K * R + R * IJp),
+            transcendentals=2 * K * IJp),
+    )(S_flat, C, Yc)
+    return nll[0, 0]
+
+
+def _bwd_pallas_1bit(S_flat, C, Yc, g, mean, sigma, interpret):
+    K, IJp = Yc.shape
+    R = S_flat.shape[0]
+    g2 = g.reshape(1, 1).astype(jnp.float32)
+    dS, dC = pl.pallas_call(
+        functools.partial(_bwd_kernel_1bit, mean=mean, sigma=sigma),
+        out_shape=(jax.ShapeDtypeStruct((R, IJp), jnp.float32),
+                   jax.ShapeDtypeStruct((K, R), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * K * R * IJp + 20 * K * IJp,
+            bytes_accessed=K * IJp * 5 + 8 * (K * R + R * IJp),
+            transcendentals=3 * K * IJp),
+    )(S_flat, C, Yc, g2)
+    return dS, dC
+
+
+def _nll_jnp_1bit(S_flat, C, Yc, mean, sigma):
+    inv_s = 1.0 / (sigma * _SIGMA_EFF)
+    X = jnp.matmul(C, S_flat, precision=_HIGH)
+    sgn = _sign_weight_from_codes(Yc.astype(jnp.int32))
+    t = sgn * ((X - mean) * inv_s)
+    return -jnp.sum(jnp.abs(sgn) * _log_ndtr(t))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_onebit_nll(
+    S_flat: jnp.ndarray,     # [R, IJp]
+    C: jnp.ndarray,          # [K, R]
+    Yc: jnp.ndarray,         # [K, IJp] int8 codes from pack_codes_1bit
+    mean: float,
+    sigma: float,
+    interpret: bool = False,
+    mode: str = "auto",
+) -> jnp.ndarray:
+    """1-bit probit NLL (sum) of the rank-R reconstruction, specialized
+    2-bin kernel: logP = logPhi(sign*(X-mean)/s_eff), masked entries (code
+    2) contribute exactly zero.  Equals the generic fused kernel on
+    `pack_bounds_1bit` bounds (tests/test_pallas_kernel.py) at half the
+    in-kernel transcendental work."""
+    if _use_pallas(mode) or interpret:
+        return _fwd_pallas_1bit(S_flat, C, Yc, mean, sigma,
+                                interpret=interpret)
+    return _nll_jnp_1bit(S_flat, C, Yc, mean, sigma)
+
+
+def _vjp_fwd_1bit(S_flat, C, Yc, mean, sigma, interpret, mode="auto"):
+    out = fused_onebit_nll(S_flat, C, Yc, mean, sigma, interpret, mode)
+    return out, (S_flat, C, Yc)
+
+
+def _vjp_bwd_1bit(mean, sigma, interpret, mode, res, g):
+    S_flat, C, Yc = res
+    if _use_pallas(mode) or interpret:
+        return _bwd_pallas_1bit(S_flat, C, Yc, g, mean, sigma,
+                                interpret=interpret) + (None,)
+    inv_s = 1.0 / (sigma * _SIGMA_EFF)
+    X = jnp.matmul(C, S_flat, precision=_HIGH)
+    sgn = _sign_weight_from_codes(Yc.astype(jnp.int32))
+    t = sgn * ((X - mean) * inv_s)
+    ratio = jnp.exp(jnp.minimum(-0.5 * t * t - _LOG_SQRT_2PI - _log_ndtr(t),
+                                30.0))
+    dX = g * (-inv_s) * sgn * ratio
+    dS = jnp.matmul(C.T, dX, precision=_HIGH)
+    dC = jnp.matmul(dX, S_flat.T, precision=_HIGH)
+    return dS, dC, None
+
+
+fused_onebit_nll.defvjp(_vjp_fwd_1bit, _vjp_bwd_1bit)

@@ -45,7 +45,9 @@ from quantized_spectrum_cartography_tpu.ops.lowrank import (
 )
 from quantized_spectrum_cartography_tpu.ops.pallas import (
     fused_quantized_nll,
+    fused_quantized_nll_coded,
     pack_bounds,
+    pack_codes,
 )
 from quantized_spectrum_cartography_tpu.ops.metrics import nmse
 from quantized_spectrum_cartography_tpu.solvers.base import RecoveryResult, inner_steps
@@ -65,6 +67,7 @@ def recover_mle_gan(
     T_true: Optional[jnp.ndarray] = None,
     use_fused: bool = True,
     nll_mode: str = "auto",
+    obs_encoding: str = "bounds",
 ) -> RecoveryResult:
     """Recover (S = G(Z), C) from ordinal observations Y [K, I, J].
 
@@ -78,7 +81,10 @@ def recover_mle_gan(
     bb = jnp.asarray(qcfg.boundaries, jnp.float32)
     offset, std = qcfg.log_offset, qcfg.noise_std
     R = num_emitters
-    if use_fused:
+    if use_fused and obs_encoding == "codes":
+        Yc = pack_codes(Y, len(qcfg.boundaries) - 1, mask)
+        bbt = tuple(float(v) for v in qcfg.boundaries)
+    elif use_fused:
         Wp, Up = pack_bounds(Y, bb, mask)
     else:
         Wb, Ub = gather_bin_bounds(Y, bb)
@@ -95,7 +101,13 @@ def recover_mle_gan(
     opt_c = optax.adam(scfg.lr_c)
     opt_z = optax.adam(scfg.lr_z)
 
-    if use_fused:
+    if use_fused and obs_encoding == "codes":
+        def nll(S, C):
+            S_flat = pad_spatial(S.reshape(R, -1))
+            return fused_quantized_nll_coded(S_flat, C.T, Yc, bbt, std,
+                                             offset, False, False, None,
+                                             nll_mode)
+    elif use_fused:
         def nll(S, C):
             S_flat = pad_spatial(S.reshape(R, -1))
             return fused_quantized_nll(S_flat, C.T, Wp, Up, std, offset,

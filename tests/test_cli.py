@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from quantized_spectrum_cartography_tpu.cli import main
 
@@ -26,3 +27,43 @@ def test_recover_lowrank_json(tmp_path, capsys):
     assert np.isfinite(res["final_cost"])
     saved = np.load(out)
     assert saved["T_hat"].shape == (64, 51, 51)
+
+
+def test_config_file_loading(tmp_path):
+    from quantized_spectrum_cartography_tpu.config import load_config_file
+
+    ini = tmp_path / "run.ini"
+    ini.write_text(
+        "[general]\nseed = 7\n"
+        "[physics]\ngrid_size = 31\npsd_basis = s\n"
+        "[solver]\nmax_iters = 100\nprojection_method = svd\n"
+        "nonneg_slf = true\n"
+        "[quantizer]\nboundaries = -25.0 -12.0 -9.0 -7.0 0.0\n"
+        "noise_std = 5.0\n")
+    cfg = load_config_file(str(ini))
+    assert cfg.seed == 7
+    assert cfg.physics.grid_size == 31 and cfg.physics.psd_basis == "s"
+    assert cfg.solver.max_iters == 100 and cfg.solver.nonneg_slf is True
+    assert cfg.quantizer.num_bins == 4
+
+    js = tmp_path / "run.json"
+    js.write_text('{"seed": 3, "solver": {"max_iters": 42}}')
+    cfg2 = load_config_file(str(js))
+    assert cfg2.seed == 3 and cfg2.solver.max_iters == 42
+
+    bad = tmp_path / "bad.ini"
+    bad.write_text("[solver]\nnot_a_field = 1\n")
+    with pytest.raises(ValueError):
+        load_config_file(str(bad))
+
+
+def test_cli_recover_with_config(tmp_path, capsys):
+    ini = tmp_path / "run.ini"
+    ini.write_text(
+        "[general]\nseed = 1\n"
+        "[solver]\nmax_iters = 5\ns_inner_iters = 2\nc_inner_iters = 2\n"
+        "lr_s = 0.001\nlr_c = 0.001\n")
+    main(["recover", "--solver", "lowrank", "--config", str(ini)])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["iters"] == 5

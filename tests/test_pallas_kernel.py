@@ -183,3 +183,93 @@ def test_fast_path_matches_robust_in_bulk(instance):
                                                 fast=True))(S)
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=2e-2, atol=2e-4)
+
+
+def test_coded_kernel_matches_bounds_kernel(rng):
+    """Coded (int8) kernels: value+grad parity with the (W,U) kernels in
+    interpret mode, ordinal 4-bin log-link and 1-bit linear-link cases."""
+    from quantized_spectrum_cartography_tpu.ops.pallas.fused_likelihood import (
+        fused_quantized_nll,
+        fused_quantized_nll_coded,
+        onebit_bounds,
+        pack_bounds,
+        pack_bounds_1bit,
+        pack_codes,
+        pack_codes_1bit,
+        MASK_SENTINEL,
+    )
+    from quantized_spectrum_cartography_tpu.ops import boundaries as BND
+
+    R, K, IJ = 2, 8, 256
+    sigma, offset = 5.0, BND.LOG_OFFSET_4
+    S = jnp.asarray(rng.uniform(0.001, 0.05, (R, IJ)), jnp.float32)
+    C = jnp.asarray(rng.uniform(0.0, 1.0, (K, R)), jnp.float32)
+    Y = jnp.asarray(rng.integers(0, 4, (K, IJ)))
+    mask = jnp.asarray(rng.integers(0, 2, (K, IJ)).astype(np.float32))
+    bb = jnp.asarray(np.array(BND.QUANTIZATION_BOUNDARIES_4_BINS_LOG))
+
+    W, U = pack_bounds(Y, bb, mask)
+    Yc = pack_codes(Y, 4, mask)
+    assert Yc.dtype == jnp.int8
+    bbt = tuple(float(v) for v in np.array(BND.QUANTIZATION_BOUNDARIES_4_BINS_LOG))
+
+    f_ref = lambda s, c: fused_quantized_nll(s, c, W, U, sigma, offset, True)
+    f_cod = lambda s, c: fused_quantized_nll_coded(s, c, Yc, bbt, sigma,
+                                                   offset, True)
+    v1, g1 = jax.value_and_grad(f_ref, (0, 1))(S, C)
+    v2, g2 = jax.value_and_grad(f_cod, (0, 1))(S, C)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+    # 1-bit linear case
+    mean, std = 0.0045, 0.008
+    y01 = jnp.asarray(rng.integers(0, 2, (K, IJ)).astype(np.float32))
+    Wb, Ub = pack_bounds_1bit(y01, mean, mask)
+    Yc1 = pack_codes_1bit(y01, mask)
+    f1 = lambda s, c: fused_quantized_nll(s, c, Wb, Ub, std, 0.0, True,
+                                          True)
+    f2 = lambda s, c: fused_quantized_nll_coded(
+        s, c, Yc1, onebit_bounds(mean), std, 0.0, True, True)
+    v1, g1 = jax.value_and_grad(f1, (0, 1))(S, C)
+    v2, g2 = jax.value_and_grad(f2, (0, 1))(S, C)
+    np.testing.assert_allclose(float(v2), float(v1), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-6)
+
+    # masked entries contribute exactly zero gradient
+    gS = np.asarray(g2[0])
+    assert np.all(np.isfinite(gS))
+
+
+def test_onebit_specialized_kernel_parity(rng):
+    """Specialized 1-bit kernel == generic fused kernel on 1-bit bounds,
+    value and gradients, interpret mode, with and without mask."""
+    from quantized_spectrum_cartography_tpu.ops.pallas.fused_likelihood import (
+        fused_onebit_nll,
+        fused_quantized_nll,
+        pack_bounds_1bit,
+        pack_codes_1bit,
+    )
+
+    R, K, IJ = 2, 8, 256
+    mean, std = 0.0045, 0.008
+    S = jnp.asarray(rng.uniform(0.001, 0.05, (R, IJ)), jnp.float32)
+    C = jnp.asarray(rng.uniform(0.0, 1.0, (K, R)), jnp.float32)
+    y01 = jnp.asarray(rng.integers(0, 2, (K, IJ)).astype(np.float32))
+    for mask in (None,
+                 jnp.asarray(rng.integers(0, 2, (K, IJ)).astype(np.float32))):
+        W, U = pack_bounds_1bit(y01, mean, mask)
+        Yc = pack_codes_1bit(y01, mask)
+        f_gen = lambda s, c: fused_quantized_nll(s, c, W, U, std, 0.0,
+                                                 True, True)
+        f_1b = lambda s, c: fused_onebit_nll(s, c, Yc, mean, std, True)
+        v1, g1 = jax.value_and_grad(f_gen, (0, 1))(S, C)
+        v2, g2 = jax.value_and_grad(f_1b, (0, 1))(S, C)
+        np.testing.assert_allclose(float(v2), float(v1), rtol=5e-5)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=1e-6)
+        assert np.all(np.isfinite(np.asarray(g2[0])))

