@@ -113,7 +113,10 @@ def _cmd_recover(args):
     if args.out:
         np.savez(args.out, S=np.asarray(res.S), C=np.asarray(res.C),
                  T_hat=np.asarray(res.T_hat), nmses=np.asarray(res.nmses),
-                 costs=np.asarray(res.costs))
+                 costs=np.asarray(res.costs),
+                 T_true=np.asarray(prob.T_true),
+                 S_true=np.asarray(prob.S_true),
+                 C_true=np.asarray(prob.C_true))
 
 
 def _load_prior(args, key):
@@ -212,6 +215,37 @@ def _cmd_sweep(args):
     print(json.dumps(results, indent=2))
 
 
+def _cmd_report(args):
+    import os
+
+    from quantized_spectrum_cartography_tpu.utils import viz
+
+    data = np.load(args.recovery)
+    os.makedirs(args.out_dir, exist_ok=True)
+    written = []
+
+    def save(fig, name):
+        path = os.path.join(args.out_dir, name)
+        fig.savefig(path, dpi=args.dpi)
+        written.append(path)
+
+    bands = tuple(args.bands)
+    save(viz.plot_recovery_panels(data["T_true"], data["T_hat"],
+                                  bands=bands), "panels.png")
+    save(viz.plot_recovery_panels(data["T_true"], data["T_hat"],
+                                  bands=bands, log_offset=1e-10),
+         "panels_log.png")
+    save(viz.plot_factors(data["S"], data["C"],
+                          S_true=data.get("S_true"),
+                          C_true=data.get("C_true")), "factors.png")
+    save(viz.plot_convergence({"nmse": data["nmses"]}), "nmse.png")
+    save(viz.plot_convergence({"cost": data["costs"]}, ylabel="cost",
+                              logy=False), "cost.png")
+    save(viz.plot_map_value_histogram(data["T_true"], log_domain=True),
+         "hist_log.png")
+    print(json.dumps({"written": written}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="qsc")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -251,6 +285,14 @@ def main(argv=None):
     pt.add_argument("--checkpoint-dir", default="checkpoints/prior")
     pt.add_argument("--seed", type=int, default=0)
     pt.set_defaults(fn=_cmd_train_prior)
+
+    pp = sub.add_parser("report", help="render figures from a recovery "
+                                       "(.npz from `recover --out`)")
+    pp.add_argument("--recovery", required=True)
+    pp.add_argument("--out-dir", default="report")
+    pp.add_argument("--bands", type=int, nargs="+", default=[0, 24, 48])
+    pp.add_argument("--dpi", type=int, default=110)
+    pp.set_defaults(fn=_cmd_report)
 
     pw = sub.add_parser("sweep", help="baseline evaluation sweep")
     pw.add_argument("--fractions", type=float, nargs="+", default=[0.05, 0.1])

@@ -605,6 +605,28 @@ def _sign_weight_from_codes(codes_i32):
     return sgn
 
 
+def _hazard_ratio(t: jnp.ndarray) -> jnp.ndarray:
+    """phi(t)/Phi(t) directly, Pallas-lowerable, cheaper than
+    exp(log phi - log Phi):
+
+    t >= -4:  exp(-t^2/2 - log sqrt(2pi)) / (0.5 (1 + erf(t/sqrt2)))
+              (1+erf loses ~0.5% relative at the -4 boundary — fine for a
+              gradient);
+    t <  -4:  Mills asymptotic  -t / (1 - 1/t^2 + 3/t^4 - 15/t^6)
+              (rel err < 2e-3 at t=-4, no transcendentals).
+    The double-where keeps the unselected branch finite so the select's
+    unused lane cannot produce inf*0."""
+    t_dir = jnp.maximum(t, -4.0)
+    num = jnp.exp(-0.5 * t_dir * t_dir - _LOG_SQRT_2PI)
+    den = 0.5 * (1.0 + _erf(t_dir * 0.7071067811865476))
+    direct = num / jnp.maximum(den, 1e-30)
+    safe_t = jnp.minimum(t, -4.0)
+    inv2 = 1.0 / (safe_t * safe_t)
+    series = 1.0 - inv2 * (1.0 - 3.0 * inv2 * (1.0 - 5.0 * inv2))
+    tail = -safe_t / series
+    return jnp.where(t < -4.0, tail, direct)
+
+
 def _fwd_kernel_1bit(s_ref, c_ref, y_ref, out_ref, *, mean, sigma):
     inv_s = 1.0 / (sigma * _SIGMA_EFF)
     X = jnp.dot(c_ref[:], s_ref[:], preferred_element_type=jnp.float32)
@@ -621,11 +643,7 @@ def _bwd_kernel_1bit(s_ref, c_ref, y_ref, g_ref, ds_ref, dc_ref,
     X = jnp.dot(C, S, preferred_element_type=jnp.float32)
     sgn = _sign_weight_from_codes(y_ref[:].astype(jnp.int32))
     t = sgn * ((X - mean) * inv_s)
-    # hazard phi/Phi via exp(log phi - log Phi); t <= 0 on the active side
-    # keeps the exponent bounded (clamp guards the sgn=0 lanes)
-    ratio = jnp.exp(jnp.minimum(-0.5 * t * t - _LOG_SQRT_2PI - _log_ndtr(t),
-                                30.0))
-    dX = g_ref[0, 0] * (-inv_s) * sgn * ratio
+    dX = g_ref[0, 0] * (-inv_s) * sgn * _hazard_ratio(t)
     ds_ref[:] = jnp.dot(C.T, dX, preferred_element_type=jnp.float32)
     dc_ref[:] = jnp.dot(dX, S.T, preferred_element_type=jnp.float32)
 
@@ -711,9 +729,7 @@ def _vjp_bwd_1bit(mean, sigma, interpret, mode, res, g):
     X = jnp.matmul(C, S_flat, precision=_HIGH)
     sgn = _sign_weight_from_codes(Yc.astype(jnp.int32))
     t = sgn * ((X - mean) * inv_s)
-    ratio = jnp.exp(jnp.minimum(-0.5 * t * t - _LOG_SQRT_2PI - _log_ndtr(t),
-                                30.0))
-    dX = g * (-inv_s) * sgn * ratio
+    dX = g * (-inv_s) * sgn * _hazard_ratio(t)
     dS = jnp.matmul(C.T, dX, precision=_HIGH)
     dC = jnp.matmul(dX, S_flat.T, precision=_HIGH)
     return dS, dC, None

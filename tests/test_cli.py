@@ -67,3 +67,16 @@ def test_cli_recover_with_config(tmp_path, capsys):
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
     assert rec["iters"] == 5
+
+
+def test_cli_report(tmp_path, capsys):
+    out = os.path.join(str(tmp_path), "res.npz")
+    main(["recover", "--solver", "lowrank", "--iters", "3", "--out", out])
+    capsys.readouterr()
+    rep = os.path.join(str(tmp_path), "rep")
+    main(["report", "--recovery", out, "--out-dir", rep,
+          "--bands", "0", "8", "--dpi", "60"])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res["written"]) == 6
+    for path in res["written"]:
+        assert os.path.getsize(path) > 1000

@@ -269,7 +269,10 @@ def test_onebit_specialized_kernel_parity(rng):
         v1, g1 = jax.value_and_grad(f_gen, (0, 1))(S, C)
         v2, g2 = jax.value_and_grad(f_1b, (0, 1))(S, C)
         np.testing.assert_allclose(float(v2), float(v1), rtol=5e-5)
+        # grad tolerance: the specialized bwd uses the direct piecewise
+        # hazard ratio (max rel err ~1e-3 at its t=-4 branch point) vs the
+        # generic kernel's exp(log-diff) form
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
-                                       rtol=5e-4, atol=1e-6)
+                                       rtol=2e-3, atol=2e-5)
         assert np.all(np.isfinite(np.asarray(g2[0])))
