@@ -94,3 +94,22 @@ def dither_probit(key: jax.Array, y: jnp.ndarray, std) -> jnp.ndarray:
 def dither_sigmoid(key: jax.Array, y: jnp.ndarray) -> jnp.ndarray:
     """Sample z ~ Bernoulli(sigmoid(y)) (reference `quantization_model.py:49-55`)."""
     return jax.random.bernoulli(key, F_sigmoid(y)).astype(y.dtype)
+
+
+def pack_bits_host(y01) -> "np.ndarray":
+    """Host-side bit-pack of 1-bit observations for transfer: {0,1} array
+    -> uint8 [..., ceil(last/8)] (np.packbits along the last axis).  The
+    wire format for serving: 1 bit/entry instead of 8-32."""
+    import numpy as np
+
+    arr = np.asarray(y01)
+    return np.packbits(arr.astype(np.uint8), axis=-1)
+
+
+def unpack_bits(packed: jnp.ndarray, last_dim: int) -> jnp.ndarray:
+    """Device-side unpack of `pack_bits_host` output back to {0,1} float32
+    [..., last_dim] — pure bit ops, fuses into whatever consumes it."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)      # MSB-first
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    flat = bits.reshape(*packed.shape[:-1], packed.shape[-1] * 8)
+    return flat[..., :last_dim].astype(jnp.float32)

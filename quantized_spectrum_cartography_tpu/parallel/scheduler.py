@@ -83,27 +83,59 @@ class RecoveryScheduler:
         return reqs
 
     def _loop(self):
-        while not self._stop.is_set():
-            reqs = self._collect()
-            if not reqs:
-                continue
-            n = len(reqs)
-            stacked = {}
-            for k in reqs[0].payload:
-                arrs = [r.payload[k] for r in reqs]
-                # pad to the static batch with copies of request 0
-                while len(arrs) < self._batch:
-                    arrs.append(arrs[0])
-                stacked[k] = jnp.asarray(np.stack(arrs))
-            try:
-                out = self._solver(stacked)
-                out = jax.device_get(out)
-                for i, r in enumerate(reqs):
-                    r.future.set_result(
-                        {k: v[i] for k, v in out.items()})
+        # 2-stage pipeline: this loop dispatches the (async) device solve
+        # and hands the in-flight result to a drain thread that performs
+        # the blocking device_get and resolves the futures — so batch N's
+        # host transfer overlaps batch N+1's collection and compute.  The
+        # depth-2 semaphore bounds in-flight device work.
+        import threading as _threading
+
+        inflight: "queue.Queue" = queue.Queue()
+        slots = _threading.Semaphore(2)
+
+        def drain():
+            while True:
+                item = inflight.get()
+                if item is None:
+                    return
+                reqs, out, err = item
+                try:
+                    if err is None:
+                        host = jax.device_get(out)
+                        for i, r in enumerate(reqs):
+                            r.future.set_result(
+                                {k: v[i] for k, v in host.items()})
+                        self.maps_completed += len(reqs)
+                    else:
+                        raise err
+                except Exception as e:
+                    for r in reqs:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+                finally:
+                    slots.release()
+
+        drainer = _threading.Thread(target=drain, daemon=True)
+        drainer.start()
+        try:
+            while not self._stop.is_set():
+                reqs = self._collect()
+                if not reqs:
+                    continue
+                stacked = {}
+                for k in reqs[0].payload:
+                    arrs = [r.payload[k] for r in reqs]
+                    # pad to the static batch with copies of request 0
+                    while len(arrs) < self._batch:
+                        arrs.append(arrs[0])
+                    stacked[k] = jnp.asarray(np.stack(arrs))
+                slots.acquire()
+                try:
+                    out = self._solver(stacked)   # async dispatch
+                    inflight.put((reqs, out, None))
+                except Exception as e:
+                    inflight.put((reqs, None, e))
                 self.batches_dispatched += 1
-                self.maps_completed += n
-            except Exception as e:  # propagate to callers
-                for r in reqs:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+        finally:
+            inflight.put(None)
+            drainer.join(timeout=30)

@@ -80,3 +80,17 @@ def test_dither_probit_rate():
 
     p = norm.cdf(0.5)
     assert abs(float(z.mean()) - p) < 0.02
+
+
+def test_bit_packing_roundtrip(rng):
+    from quantized_spectrum_cartography_tpu.ops.quantizer import (
+        pack_bits_host,
+        unpack_bits,
+    )
+
+    y = rng.integers(0, 2, (5, 64, 51)).astype(np.float32)
+    packed = pack_bits_host(y)
+    assert packed.dtype == np.uint8
+    assert packed.shape == (5, 64, 7)          # ceil(51/8)
+    back = np.asarray(unpack_bits(jnp.asarray(packed), 51))
+    np.testing.assert_array_equal(back, y)

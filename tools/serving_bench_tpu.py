@@ -1,0 +1,109 @@
+"""End-to-end serving benchmark: continuous batching on the real chip.
+
+Streams N single-map 1-bit recovery requests through
+`parallel.RecoveryScheduler` backed by the batched Pallas-kernel solver
+(static device batch; pad slots keep the XLA shape fixed), and reports
+sustained throughput and per-request latency percentiles — the
+production-serving protocol SURVEY.md §5.8 calls for, which the
+reference (one map per notebook run) has no analogue of.
+
+    python tools/serving_bench_tpu.py --requests 256 --batch 64
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--inner", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quantized_spectrum_cartography_tpu.config import (
+        PhysicsConfig, SolverConfig)
+    from quantized_spectrum_cartography_tpu.ops.quantizer import (
+        dither_probit, pack_bits_host, unpack_bits)
+    from quantized_spectrum_cartography_tpu.parallel import RecoveryScheduler
+    from quantized_spectrum_cartography_tpu.physics import generate_map_batch
+    from quantized_spectrum_cartography_tpu.solvers import recover_lowrank_mle
+
+    G, K, R = 51, 64, 2
+    MEAN, STD = 0.0045, 0.008
+    B = args.batch
+    scfg = SolverConfig(max_iters=args.iters, s_inner_iters=args.inner,
+                        c_inner_iters=args.inner, lr_s=0.001, lr_c=0.001,
+                        projection_interval=5, rank_truncation=10)
+
+    solve = jax.jit(jax.vmap(
+        lambda packed: recover_lowrank_mle(
+            unpack_bits(packed, G * G).reshape(K, G, G),
+            jnp.zeros((R, G, G)), jnp.full((R, K), 0.01),
+            scfg, MEAN, STD)))
+
+    def solver_fn(stacked):
+        # wire format: bit-packed observations up (1 bit/entry — 32x
+        # less than f32), compact factors down (S,C ~ 16x less than the
+        # reconstructed tensor — clients rebuild T_hat = sum_r S_r o c_r
+        # locally when needed).  Transfer volume dominates serving latency
+        # through any host<->device link; through the tunnel it is
+        # decisive.
+        # return DEVICE arrays: the scheduler's drain thread performs the
+        # blocking device_get, so this dispatch stays async and batch N's
+        # download overlaps batch N+1's compute
+        res = solve(jnp.asarray(stacked["T_obs"]))
+        return {"S": res.S, "C": res.C, "cost": res.costs[:, -1]}
+
+    # data: a stream of independent problems
+    pcfg = PhysicsConfig(grid_size=G, num_bands=K, num_emitters=R)
+    T, _, _, _ = generate_map_batch(jax.random.PRNGKey(0), pcfg,
+                                    args.requests)
+    y01 = np.asarray(dither_probit(jax.random.PRNGKey(1), T - MEAN, STD))
+    T_obs = pack_bits_host(y01.reshape(args.requests, K, G * G))
+
+    # warm-up compile outside the timed region
+    solver_fn({"T_obs": T_obs[:B]})
+    print(f"compiled; streaming {args.requests} requests "
+          f"(batch {B})", flush=True)
+
+    sched = RecoveryScheduler(solver_fn, batch_size=B, max_wait_ms=20.0)
+    t0 = time.time()
+    submit_times = []
+    futures = []
+    for i in range(args.requests):
+        submit_times.append(time.time())
+        futures.append(sched.submit({"T_obs": T_obs[i]}))
+    lat = []
+    for st, f in zip(submit_times, futures):
+        r = f.result(timeout=600)
+        lat.append(time.time() - st)
+        assert np.isfinite(r["cost"]), "non-finite solver cost"
+    dt = time.time() - t0
+    sched.shutdown()
+
+    lat = np.asarray(lat)
+    out = {
+        "metric": "serving throughput, continuous-batched 1-bit recovery",
+        "requests": args.requests,
+        "batch": B,
+        "maps_per_sec": round(args.requests / dt, 2),
+        "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
+        "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+        "latency_max_s": round(float(lat.max()), 3),
+        "batches_dispatched": sched.batches_dispatched,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
