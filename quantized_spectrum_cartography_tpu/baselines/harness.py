@@ -12,7 +12,6 @@ probability at the true emitter peaks (:514-544).
 from __future__ import annotations
 
 import dataclasses
-import itertools
 from typing import Callable, Dict, List, Optional, Sequence
 
 import jax

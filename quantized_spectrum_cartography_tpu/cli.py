@@ -185,6 +185,12 @@ def _cmd_train_prior(args):
         train_vae(key, VAETrainConfig(steps=args.steps,
                                       batch_size=args.batch),
                   checkpoint_dir=args.checkpoint_dir)
+    elif args.kind == "aae":
+        from quantized_spectrum_cartography_tpu.training.aae_trainer import (
+            AAETrainConfig, train_aae)
+        train_aae(key, AAETrainConfig(steps=args.steps, z_dim=args.z_dim,
+                                      batch_size=args.batch),
+                  checkpoint_dir=args.checkpoint_dir)
     else:
         raise SystemExit(f"unknown prior kind {args.kind}")
 
@@ -278,7 +284,8 @@ def main(argv=None):
     pr.set_defaults(fn=_cmd_recover)
 
     pt = sub.add_parser("train-prior", help="train GAN/AE/VAE prior")
-    pt.add_argument("--kind", choices=["gan", "ae", "vae"], default="gan")
+    pt.add_argument("--kind", choices=["gan", "ae", "vae", "aae"],
+                    default="gan")
     pt.add_argument("--steps", type=int, default=20000)
     pt.add_argument("--batch", type=int, default=64)
     pt.add_argument("--z-dim", type=int, default=256)

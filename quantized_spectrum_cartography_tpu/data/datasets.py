@@ -17,7 +17,7 @@ sample_size=[lo, hi] like the reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Callable, Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

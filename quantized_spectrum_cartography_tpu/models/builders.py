@@ -18,7 +18,7 @@ the reference's InvalidArchitectureError (networks/utils/errors.py).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ ConvTranspose2d(k, s, p)  ==  nn.ConvTranspose(padding=(k-1-p, k-1-p)).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from quantized_spectrum_cartography_tpu.ops.quantizer import (
     F_probit,
-    F_sigmoid,
     _SQRT2,
 )
 

@@ -8,8 +8,6 @@ the MXU; batched over maps it becomes one batched matmul.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

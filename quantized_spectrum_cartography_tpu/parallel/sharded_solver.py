@@ -17,11 +17,11 @@ Two mechanisms, both over the ('data', 'model') mesh of parallel/mesh.py:
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from quantized_spectrum_cartography_tpu.config import QuantizerConfig, SolverConfig
 from quantized_spectrum_cartography_tpu.ops.likelihood import (
