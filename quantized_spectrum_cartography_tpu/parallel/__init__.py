@@ -11,3 +11,12 @@ from quantized_spectrum_cartography_tpu.parallel.sharded_solver import (  # noqa
 from quantized_spectrum_cartography_tpu.parallel.scheduler import (  # noqa: F401
     RecoveryScheduler,
 )
+from quantized_spectrum_cartography_tpu.parallel.multihost import (  # noqa: F401
+    configure_cpu_substitute,
+    gather_local,
+    init_distributed,
+    local_batch_to_global,
+    make_global_mesh,
+    multihost_recover_lowrank,
+    process_local_slice,
+)
