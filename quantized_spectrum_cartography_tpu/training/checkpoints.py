@@ -25,14 +25,30 @@ def save_checkpoint(path: str, state: Any, force: bool = True) -> None:
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     """Restore a pytree; `target` (matching structure of abstract arrays)
-    enables dtype/shape-checked restoration and sharded placement."""
+    enables dtype/shape-checked restoration and sharded placement.
+
+    Restoration is device-agnostic (the equivalent of the reference's
+    map_location='cpu'): checkpoints written on the TPU chip restore on a
+    CPU-only process and vice versa, by dropping the recorded shardings
+    when they name devices absent from this runtime."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         if target is not None:
             abstract = jax.tree_util.tree_map(
                 ocp.utils.to_shape_dtype_struct, target)
             return ckptr.restore(path, abstract)
-        return ckptr.restore(path)
+        try:
+            return ckptr.restore(path)
+        except ValueError:
+            # recorded shardings reference another platform's devices:
+            # re-restore onto the default device from the saved metadata
+            meta = ckptr.metadata(path).item_metadata
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            abstract = jax.tree_util.tree_map(
+                lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                               sharding=sharding),
+                meta)
+            return ckptr.restore(path, abstract)
 
 
 def latest_step_dir(root: str) -> Optional[str]:

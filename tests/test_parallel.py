@@ -111,3 +111,34 @@ def test_scheduler_propagates_errors():
     with pytest.raises(RuntimeError, match="boom"):
         f.result(timeout=10)
     sched.shutdown()
+
+
+def test_data_parallel_program_is_collective_free():
+    """Compiler-level scaling proof: the compiled data-parallel batched
+    recovery contains ZERO collective ops at 8 devices, so weak scaling on
+    real chips is bounded only by per-chip compute (the data axis cannot
+    lose efficiency to communication).  tools/scaling_isolation.py reports
+    the same for 1/2/4/8 plus host-contention timings."""
+    import functools
+
+    from quantized_spectrum_cartography_tpu.parallel.mesh import (
+        batch_sharding)
+    from quantized_spectrum_cartography_tpu.solvers.lowrank_mle import (
+        recover_lowrank_mle)
+
+    G, K, R, Bn = 21, 16, 2, 8
+    scfg = SolverConfig(max_iters=2, s_inner_iters=1, c_inner_iters=1,
+                        projection_interval=2, rank_truncation=5)
+    mesh = make_mesh((8, 1))
+    solver = jax.vmap(functools.partial(
+        recover_lowrank_mle, cfg=scfg, mean=0.0045, std=0.008))
+    fn = jax.jit(solver, in_shardings=(batch_sharding(mesh, 4),
+                                       batch_sharding(mesh, 4),
+                                       batch_sharding(mesh, 3)))
+    hlo = fn.lower(
+        jax.ShapeDtypeStruct((Bn, K, G, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, R, G, G), jnp.float32),
+        jax.ShapeDtypeStruct((Bn, R, K), jnp.float32)).compile().as_text()
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter"):
+        assert hlo.count(op) == 0, f"unexpected {op} in data-parallel HLO"

@@ -65,7 +65,13 @@ def main():
 
     results = []
     base_rate = None
-    for n in args.devices:
+    # efficiency must be normalized by the true 1-device per-map rate;
+    # if the requested list omits n=1, measure it anyway (a list starting
+    # at n=2 would otherwise silently treat the 2-device run as perfect)
+    devices = list(args.devices)
+    if devices[0] != 1:
+        devices = [1] + devices
+    for n in devices:
         B = n * args.per_device
         mesh = make_mesh((n, 1), devices=jax.devices()[:n])
         T, S, C, _ = generate_map_batch(jax.random.PRNGKey(0), pcfg, B)
@@ -86,7 +92,8 @@ def main():
         dt = (time.time() - t0) / reps
         rate = B / dt
         if base_rate is None:
-            base_rate = rate / n * 1  # per the 1-device entry
+            assert n == 1
+            base_rate = rate          # per-device rate at 1 device
             eff = 1.0
         else:
             eff = rate / (base_rate * n)
