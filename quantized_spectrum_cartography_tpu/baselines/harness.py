@@ -1,26 +1,48 @@
-"""Evaluation harness: the SRE / NAE / miss-detection sweep protocol.
+"""Evaluation harness: the full `joint_opt_ae.m` comparison protocol.
 
 Re-design of the MATLAB comparison harness
-(`backup/algorithms/joint_opt_ae.m`): for each condition (sampling
-fraction rho / R / shadow sigma / Xc / snr) and each Monte-Carlo example,
-generate a map, sample observations, run each registered method, and
-accumulate SRE (:1020), NAE_S / NAE_C (:1024-1035) with factor-permutation
-fixing (cpderr-style greedy matching, :213-246), and miss/false-detection
-probability at the true emitter peaks (:514-544).
+(`backup/algorithms/joint_opt_ae.m`):
+
+- condition grid — the reference's five sweep axes (`:11-25`):
+  sampling fraction fs=[0.01,0.05,0.1,0.15,0.2], emitters Rs=[5,7,9,11,13],
+  shadow sigmas=[4..8], correlation Xcs=[10,30,50,70,90],
+  snrs=[0,10,20,30,40] dB, each varied around the base configuration
+  (R=2, shadow 5, Xc 50, f 0.05, sinc basis, separable — `:12-28`);
+- per-example pipeline (`:118-180`): generate map (sinc basis), optional
+  additive uniform noise at the requested SNR (`:137-147`), clamp
+  negatives, per-location sampling Omega = randperm(IJ, round(f*IJ))
+  (`:169-173`);
+- metrics (`:1019-1035`): SRE (squared Frobenius ratio), the harness NAE
+  (global-sum normalization, 1/R), with BTD's validity filter SRE < 3
+  (`:496-501`) and factor-permutation fixing (cpderr role, `:213-246`);
+- miss/false-detection counts at the true emitter peaks with the
+  reference thresholds 0.25/1.75/0.01 and the (total+1) denominators
+  (`:48-49`, `:514-544`, `:549-554`) — ops/metrics.detection_counts;
+- the five published methods (figure at `:570-655`): TPS, BTD/LL1,
+  DeepComp (per-band AE completion, `deep_comp.py:21-42`), Nasdac
+  (SPA + AE), DowJons (NNLS C-step + latent S-step).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from quantized_spectrum_cartography_tpu.config import PhysicsConfig
-from quantized_spectrum_cartography_tpu.ops.metrics import nae, sre
-from quantized_spectrum_cartography_tpu.physics import generate_onebit_problem
+from quantized_spectrum_cartography_tpu.ops.metrics import (
+    detection_counts,
+    nae,
+    nae_tensor,
+    sre,
+)
+from quantized_spectrum_cartography_tpu.physics import (
+    generate_map,
+    generate_onebit_problem,
+)
 
 
 def best_permutation(S_hat: jnp.ndarray, S_true: jnp.ndarray) -> jnp.ndarray:
@@ -62,9 +84,13 @@ def evaluate_method(
     S_true: Optional[jnp.ndarray] = None,
     C_true: Optional[jnp.ndarray] = None,
     peaks: Optional[jnp.ndarray] = None,
-    detection_quantile: float = 0.98,
 ) -> MethodResult:
-    """Metrics for one recovery (joint_opt_ae.m:1020-1035, 514-544)."""
+    """Metrics for one recovery (joint_opt_ae.m:1019-1035, 514-544).
+
+    `detected` is per-emitter over all bands: an emitter counts as
+    detected when its per-band miss rate under the reference protocol is
+    below 1/2 (summary view; the condition runner reports the raw
+    event-level probabilities)."""
     sre_map = float(sre(T_hat, T_true))
     nae_s, nae_c, detected = [], [], []
     if S_hat is not None and S_true is not None:
@@ -78,18 +104,285 @@ def evaluate_method(
                 nae_c.append(float(nae(C_hat[r], C_true[r])))
         if peaks is not None:
             for r in range(S_true.shape[0]):
-                thr = jnp.quantile(S_hat[r].reshape(-1), detection_quantile)
-                pi = jnp.clip(peaks[r].astype(jnp.int32), 0,
-                              S_hat.shape[-1] - 1)
-                # 3x3 neighborhood max around the true peak
-                i0 = jnp.clip(pi[1], 1, S_hat.shape[-2] - 2)
-                j0 = jnp.clip(pi[0], 1, S_hat.shape[-1] - 2)
-                patch = jax.lax.dynamic_slice(
-                    S_hat[r], (i0 - 1, j0 - 1), (3, 3))
-                detected.append(bool(jnp.max(patch) >= thr))
+                m, p, _, _ = detection_counts(T_hat, T_true, peaks[r:r + 1])
+                detected.append(bool(int(p) > 0 and int(m) <= int(p) // 2))
     return MethodResult(sre_map=sre_map, nae_s=nae_s, nae_c=nae_c,
                         detected=detected)
 
+
+# --------------------------------------------------------------------------
+# condition grid
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Condition:
+    """One harness condition — the reference base values at
+    joint_opt_ae.m:12-28 (R=2, shadow_sigma=5, Xc=50, f=0.05, no noise)."""
+
+    fraction: float = 0.05
+    num_emitters: int = 2
+    shadow_sigma: float = 5.0
+    xc: float = 50.0
+    snr: Optional[float] = None        # dB; None = noiseless (use_snr=false)
+
+    def label(self) -> str:
+        return (f"f={self.fraction} R={self.num_emitters} "
+                f"sig={self.shadow_sigma} Xc={self.xc} snr={self.snr}")
+
+
+# the reference's sweep axes (joint_opt_ae.m:11-25)
+REFERENCE_AXES: Dict[str, Sequence] = {
+    "fraction": (0.01, 0.05, 0.1, 0.15, 0.2),
+    "num_emitters": (5, 7, 9, 11, 13),
+    "shadow_sigma": (4, 5, 6, 7, 8),
+    "xc": (10, 30, 50, 70, 90),
+    "snr": (0, 10, 20, 30, 40),
+}
+
+
+def condition_grid(
+    axis: Optional[str] = None,
+    values: Optional[Sequence] = None,
+    base: Condition = Condition(),
+) -> Tuple[Condition, ...]:
+    """Conditions varying one axis around `base` (the reference sweeps one
+    variable per run, binding fs/Rs/sigmas/Xcs/snrs at `:82-87`).  With no
+    axis, the single base condition."""
+    if axis is None:
+        return (base,)
+    vals = values if values is not None else REFERENCE_AXES[axis]
+    return tuple(dataclasses.replace(base, **{axis: v}) for v in vals)
+
+
+@dataclasses.dataclass
+class HarnessProblem:
+    """One generated example with its sampling pattern."""
+
+    T_true: jnp.ndarray        # [K, I, J] ground truth
+    T_noisy: jnp.ndarray       # [K, I, J] after SNR noise + clamp (== T_true when noiseless)
+    S_true: jnp.ndarray        # [R, I, J]
+    C_true: jnp.ndarray        # [R, K]
+    peaks: jnp.ndarray         # [R, 2] (x, y)
+    Om: jnp.ndarray            # [I, J] bool per-location mask
+    sample_idx: jnp.ndarray    # [N, 2] (row, col) observed locations
+    fraction: float
+
+    @property
+    def T_obs(self) -> jnp.ndarray:
+        """Masked observations (zeros at unobserved locations)."""
+        return self.T_noisy * self.Om.astype(self.T_noisy.dtype)[None]
+
+
+def make_problem(
+    key: jax.Array,
+    cond: Condition,
+    physics: PhysicsConfig = PhysicsConfig(),
+) -> HarnessProblem:
+    """Generate one example per joint_opt_ae.m:118-180: sinc-basis map,
+    optional uniform SNR noise (`T = T_true + sn*1.73*rand`, sn from the
+    requested SNR, zeroed when sn >= 100; negatives clamped), per-location
+    Omega = randperm(IJ, round(f*IJ))."""
+    pcfg = dataclasses.replace(
+        physics,
+        num_emitters=cond.num_emitters,
+        shadow_sigma=float(cond.shadow_sigma),
+        decorrelation_distance=float(cond.xc),
+        psd_basis="s",
+        separable=True,
+    )
+    k_map, k_noise, k_mask = jax.random.split(key, 3)
+    T_true, S, C, peaks = generate_map(k_map, pcfg)
+    T_true = jnp.maximum(T_true, 0.0)
+
+    if cond.snr is not None:
+        Ps = jnp.sum(jnp.square(T_true))
+        Pn = Ps * 10.0 ** (-cond.snr / 10.0)
+        sn = jnp.sqrt(Pn / T_true.size)
+        sn = jnp.where(sn >= 1e2, 0.0, sn)
+        T = T_true + sn * 1.73 * jax.random.uniform(k_noise, T_true.shape)
+        T = jnp.maximum(T, 0.0)
+    else:
+        T = T_true
+
+    I = pcfg.grid_size
+    IJ = I * I
+    num = int(round(cond.fraction * IJ))
+    perm = jax.random.permutation(k_mask, IJ)
+    flat_idx = perm[:num]
+    Om = jnp.zeros((IJ,), bool).at[flat_idx].set(True).reshape(I, I)
+    sample_idx = jnp.stack([flat_idx // I, flat_idx % I], axis=1)
+    return HarnessProblem(T_true=T_true, T_noisy=T, S_true=S, C_true=C,
+                          peaks=peaks, Om=Om, sample_idx=sample_idx,
+                          fraction=cond.fraction)
+
+
+# --------------------------------------------------------------------------
+# condition runner
+# --------------------------------------------------------------------------
+
+HarnessFn = Callable[[jax.Array, HarnessProblem], Dict[str, jnp.ndarray]]
+# signature: (key, problem) -> {"T_hat":..., optional "S_hat", "C_hat"}
+
+# the reference keeps a BTD example only when its SRE < 3
+# (joint_opt_ae.m:496-501 count_valid)
+DEFAULT_VALIDITY_CAPS = {"btd": 3.0}
+
+
+def run_conditions(
+    methods: Dict[str, HarnessFn],
+    conditions: Sequence[Condition],
+    num_examples: int = 1,
+    physics: PhysicsConfig = PhysicsConfig(),
+    seed: int = 0,
+    validity_caps: Optional[Dict[str, float]] = None,
+    log_fn=None,
+) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """Monte-Carlo sweep over `conditions` (joint_opt_ae.m:82-117).
+
+    Returns results[condition.label()][method] = {sre, nae_s, nae_c,
+    miss_prob, false_prob, valid} with the reference's accumulation rules:
+    per-condition sums divided by example count (or valid count under a
+    validity cap), detection probabilities as event_count/(total+1).
+    """
+    caps = DEFAULT_VALIDITY_CAPS if validity_caps is None else validity_caps
+    out: Dict[str, Dict[str, Dict[str, float]]] = {}
+    for ci, cond in enumerate(conditions):
+        acc = {m: {"sre": [], "nae_s": [], "nae_c": [],
+                   "miss": 0, "peaks": 0, "false": 0, "lows": 0}
+               for m in methods}
+        for ex in range(num_examples):
+            key = jax.random.PRNGKey(seed * 100_000 + ci * 1_000 + ex)
+            kgen, krun = jax.random.split(key)
+            hp = make_problem(kgen, cond, physics)
+            for name, fn in methods.items():
+                res = fn(jax.random.fold_in(krun, hash(name) % (2 ** 31)),
+                         hp)
+                s = float(sre(res["T_hat"], hp.T_true))
+                cap = caps.get(name)
+                if cap is not None and s >= cap:
+                    continue                      # invalid example (BTD rule)
+                acc[name]["sre"].append(s)
+                if "S_hat" in res and res["S_hat"] is not None:
+                    perm = best_permutation(res["S_hat"], hp.S_true)
+                    S_hat = res["S_hat"][perm]
+                    acc[name]["nae_s"].append(float(nae_tensor(
+                        S_hat, hp.S_true, hp.S_true.shape[0])))
+                    if "C_hat" in res and res["C_hat"] is not None:
+                        acc[name]["nae_c"].append(float(nae_tensor(
+                            res["C_hat"][perm], hp.C_true,
+                            hp.C_true.shape[0])))
+                m_, p_, f_, l_ = detection_counts(
+                    res["T_hat"], hp.T_noisy, hp.peaks)
+                acc[name]["miss"] += int(m_)
+                acc[name]["peaks"] += int(p_)
+                acc[name]["false"] += int(f_)
+                acc[name]["lows"] += int(l_)
+                if log_fn:
+                    log_fn(f"{cond.label()} ex{ex} {name}: sre {s:.4f}")
+        out[cond.label()] = {}
+        for name in methods:
+            a = acc[name]
+            out[cond.label()][name] = {
+                "sre": float(np.mean(a["sre"])) if a["sre"] else float("nan"),
+                "nae_s": (float(np.mean(a["nae_s"]))
+                          if a["nae_s"] else float("nan")),
+                "nae_c": (float(np.mean(a["nae_c"]))
+                          if a["nae_c"] else float("nan")),
+                # reference denominators: (total+1), joint_opt_ae.m:549-554
+                "miss_prob": a["miss"] / (a["peaks"] + 1),
+                "false_prob": a["false"] / (a["lows"] + 1),
+                "valid": len(a["sre"]),
+            }
+    return out
+
+
+# --------------------------------------------------------------------------
+# the five published methods (joint_opt_ae.m figure :570-655)
+# --------------------------------------------------------------------------
+
+def standard_methods(
+    gen_apply: Optional[Callable] = None,
+    z_dim: int = 64,
+    ae_complete: Optional[Callable] = None,
+    btd_restarts: int = 4,
+    dowjons_iters: int = 30,
+    ae_input_apply: Optional[Callable] = None,
+) -> Dict[str, HarnessFn]:
+    """Method registry.  `gen_apply` (deep generative prior) enables
+    DowJons; `ae_complete(mask, map) -> map` (a trained completion AE,
+    training/ae_trainer.make_ae_completer) enables DeepComp and Nasdac;
+    `ae_input_apply` (raw batched AE apply,
+    training/ae_trainer.make_ae_input_fn) enables DowJons-AE — the
+    harness's run_descent S-step variant (joint_opt_ae.m:444-465 via
+    nn_descent_ae.run_descent).  TPS and BTD need no trained model."""
+    from quantized_spectrum_cartography_tpu.baselines.btd import btd_ll1
+    from quantized_spectrum_cartography_tpu.baselines.tps import tps_complete
+
+    methods: Dict[str, HarnessFn] = {}
+
+    def tps_fn(key, hp):
+        return {"T_hat": tps_complete(hp.T_obs, hp.Om, hp.sample_idx)}
+
+    methods["tps"] = tps_fn
+
+    def btd_fn(key, hp):
+        W = jnp.broadcast_to(hp.Om.astype(jnp.float32)[None],
+                             hp.T_obs.shape)
+        S, C, T_hat = btd_ll1(hp.T_obs, hp.S_true.shape[0], L=5, iters=50,
+                              mask=W, key=key, restarts=btd_restarts)
+        return {"T_hat": T_hat, "S_hat": S, "C_hat": C}
+
+    methods["btd"] = btd_fn
+
+    if ae_complete is not None:
+        def deepcomp_fn(key, hp):
+            # DeepComp (`backup/algorithms/deep_comp.py:21-42`): one-shot
+            # AE completion of EVERY band's masked map; no factorization
+            W = hp.Om.astype(jnp.float32)
+            T_hat = jax.vmap(lambda band: ae_complete(W, band))(hp.T_obs)
+            return {"T_hat": T_hat}
+
+        methods["deepcomp"] = deepcomp_fn
+
+        def nasdac_fn(key, hp):
+            from quantized_spectrum_cartography_tpu.solvers.nasdac import (
+                recover_nasdac)
+            res = recover_nasdac(hp.T_obs, hp.Om, ae_complete,
+                                 num_emitters=hp.S_true.shape[0])
+            return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
+
+        methods["nasdac"] = nasdac_fn
+
+    if gen_apply is not None:
+        def dowjons_fn(key, hp):
+            from quantized_spectrum_cartography_tpu.solvers.completion import (
+                recover_dowjons_unquantized)
+            res = recover_dowjons_unquantized(
+                key, hp.T_obs, hp.Om, gen_apply,
+                num_emitters=hp.S_true.shape[0], z_dim=z_dim,
+                outer_iters=dowjons_iters)
+            return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
+
+        methods["dowjons"] = dowjons_fn
+
+    if ae_input_apply is not None:
+        def dowjons_ae_fn(key, hp):
+            from quantized_spectrum_cartography_tpu.solvers.completion import (
+                recover_dowjons_ae)
+            res = recover_dowjons_ae(
+                hp.T_obs, hp.Om, ae_input_apply,
+                num_emitters=hp.S_true.shape[0],
+                outer_iters=dowjons_iters)
+            return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
+
+        methods["dowjons_ae"] = dowjons_ae_fn
+
+    return methods
+
+
+# --------------------------------------------------------------------------
+# legacy fraction-only sweep (kept for the CLI `sweep` command)
+# --------------------------------------------------------------------------
 
 RecoverFn = Callable[[jax.Array, "object", float], Dict[str, jnp.ndarray]]
 # signature: (key, Problem, sample_fraction) -> {"T_hat":..., optional
@@ -103,14 +396,16 @@ def run_sweep(
     physics: PhysicsConfig = PhysicsConfig(),
     seed: int = 0,
 ) -> Dict[str, Dict[float, Dict[str, float]]]:
-    """Monte-Carlo sweep like joint_opt_ae.m:82-117.
+    """Fraction-only Monte-Carlo sweep (a condition_grid('fraction') run
+    with the Problem-based method signature).
 
     Returns results[method][fraction] = {sre, nae_s, nae_c, miss_prob}.
     """
     out: Dict[str, Dict[float, Dict[str, float]]] = {
         m: {} for m in methods}
     for f in fractions:
-        acc = {m: {"sre": [], "nae_s": [], "nae_c": [], "miss": []}
+        acc = {m: {"sre": [], "nae_s": [], "nae_c": [],
+                   "miss": 0, "peaks": 0}
                for m in methods}
         for ex in range(num_examples):
             key = jax.random.PRNGKey(seed * 10_000 + ex)
@@ -122,16 +417,23 @@ def run_sweep(
                 mr = evaluate_method(
                     res["T_hat"], prob.T_true,
                     S_hat=res.get("S_hat"), C_hat=res.get("C_hat"),
-                    S_true=prob.S_true, C_true=prob.C_true,
-                    peaks=res.get("peaks"))
+                    S_true=prob.S_true, C_true=prob.C_true)
                 acc[name]["sre"].append(mr.sre_map)
                 acc[name]["nae_s"].extend(mr.nae_s)
                 acc[name]["nae_c"].extend(mr.nae_c)
-                if mr.detected:
-                    acc[name]["miss"].extend(
-                        [0.0 if d else 1.0 for d in mr.detected])
+                if prob.peaks is not None:
+                    m_, p_, _, _ = detection_counts(
+                        res["T_hat"], prob.T_true, prob.peaks)
+                    acc[name]["miss"] += int(m_)
+                    acc[name]["peaks"] += int(p_)
         for name in methods:
+            a = acc[name]
             out[name][f] = {
-                k: (float(np.mean(v)) if v else float("nan"))
-                for k, v in acc[name].items()}
+                "sre": float(np.mean(a["sre"])) if a["sre"] else float("nan"),
+                "nae_s": (float(np.mean(a["nae_s"]))
+                          if a["nae_s"] else float("nan")),
+                "nae_c": (float(np.mean(a["nae_c"]))
+                          if a["nae_c"] else float("nan")),
+                "miss": a["miss"] / (a["peaks"] + 1),
+            }
     return out

@@ -27,8 +27,10 @@ from quantized_spectrum_cartography_tpu.ops.lowrank import (  # noqa: F401
     project_rank_subspace,
 )
 from quantized_spectrum_cartography_tpu.ops.metrics import (  # noqa: F401
+    detection_counts,
+    nae,
+    nae_tensor,
     nmse,
     nmse_log,
     sre,
-    nae,
 )

@@ -42,16 +42,51 @@ def nae(x_hat: jnp.ndarray, x_true: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.abs(a - b))
 
 
-def peak_detection_stats(
-    S_hat: jnp.ndarray, peaks_ij: jnp.ndarray, threshold_quantile: float = 0.99
-):
-    """Miss-detection statistic at true emitter locations.
+def nae_tensor(X_hat: jnp.ndarray, X_true: jnp.ndarray, R: int) -> jnp.ndarray:
+    """The MATLAB harness's NAE (joint_opt_ae.m:1014-1016): both tensors
+    normalized by their GLOBAL absolute sum, summed absolute difference,
+    divided by R.  (Distinct from per-factor `nae`, which normalizes each
+    factor separately — nn_descent_gan.py:42-47.)"""
+    a = X_hat / jnp.maximum(jnp.sum(jnp.abs(X_hat)), 1e-12)
+    b = X_true / jnp.maximum(jnp.sum(jnp.abs(X_true)), 1e-12)
+    return jnp.sum(jnp.abs(a - b)) / R
 
-    Reference protocol (`joint_opt_ae.m:514-544`): an emitter at (i,j) is
-    'detected' if the recovered SLF value near the peak is above a high
-    quantile of the map.  Returns boolean per-emitter detections.
-    S_hat: [R, I, J]; peaks_ij: [R, 2] integer grid locations.
+
+def detection_counts(
+    T_hat: jnp.ndarray,
+    T_ref: jnp.ndarray,
+    peaks_xy: jnp.ndarray,
+    miss_threshold: float = 0.25,
+    misdetect_threshold: float = 1.75,
+    low_level: float = 0.01,
+):
+    """Miss / false-detection event counts at true emitter locations —
+    the exact reference protocol (`joint_opt_ae.m:514-544`, thresholds at
+    `:48-49`): for every band k and every emitter peak p at grid (x, y)
+    [MATLAB indexes T(y, x, k), i.e. x = column]:
+
+      ref = T_ref[k, y, x]
+      ref > low_level  (a 'peak' event):  miss if T_hat[k,y,x] < 0.25*ref
+      else             (a 'low' event):   false-detect if
+                                          T_hat[k,y,x] > max(0.01, 1.75*ref)
+
+    Returns (misses, total_peaks, misdetects, total_lows) scalar counts;
+    the harness aggregates over examples and divides by (total+1) like the
+    reference (`joint_opt_ae.m:549-554`).
+    peaks_xy: [R, 2] (x, y) locations as produced by the simulator
+    (physics/simulator.py sample_slf loc convention = generate_map.m
+    emitter Xc/Yc).
     """
-    thr = jnp.quantile(S_hat.reshape(S_hat.shape[0], -1), threshold_quantile, axis=-1)
-    vals = S_hat[jnp.arange(S_hat.shape[0]), peaks_ij[:, 0], peaks_ij[:, 1]]
-    return vals >= thr
+    px = jnp.clip(jnp.round(peaks_xy[:, 0]).astype(jnp.int32), 0,
+                  T_ref.shape[2] - 1)
+    py = jnp.clip(jnp.round(peaks_xy[:, 1]).astype(jnp.int32), 0,
+                  T_ref.shape[1] - 1)
+    ref_vals = T_ref[:, py, px]                       # [K, R]
+    hat_vals = T_hat[:, py, px]
+    is_peak = ref_vals > low_level
+    miss = is_peak & (hat_vals < miss_threshold * ref_vals)
+    misdetect = jnp.logical_and(
+        ~is_peak,
+        hat_vals > jnp.maximum(low_level, misdetect_threshold * ref_vals))
+    return (jnp.sum(miss), jnp.sum(is_peak),
+            jnp.sum(misdetect), jnp.sum(~is_peak))

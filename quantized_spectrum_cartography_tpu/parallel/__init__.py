@@ -7,6 +7,7 @@ from quantized_spectrum_cartography_tpu.parallel.mesh import (  # noqa: F401
 from quantized_spectrum_cartography_tpu.parallel.sharded_solver import (  # noqa: F401
     batched_recover_lowrank,
     make_sharded_mle_step,
+    recover_lowrank_mle_ksharded,
 )
 from quantized_spectrum_cartography_tpu.parallel.scheduler import (  # noqa: F401
     RecoveryScheduler,

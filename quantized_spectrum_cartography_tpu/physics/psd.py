@@ -57,6 +57,12 @@ def sample_psd(
     if shared_peaks is None:
         # candidate centers 10:2:K-2, drawn without replacement
         cand = jnp.arange(10, K - 1, 2, dtype=jnp.float32)
+        if cand.shape[0] < num_peaks - 1:
+            raise ValueError(
+                f"K={K} too small for {num_peaks} peaks: the reference's "
+                "candidate range 10:2:K-2 (generate_map.m:54-86) needs "
+                f"K >= {10 + 2 * (num_peaks - 1)}; use more bands or fewer "
+                "num_peaks_per_psd")
         perm = jax.random.permutation(k_peaks, cand.shape[0])
         centers = cand[perm[: num_peaks - 1]]
     else:

@@ -116,7 +116,7 @@ def generate_onebit_problem(
     Om = jnp.zeros((IJ,), bool).at[perm[:num]].set(True)
     Om = Om.reshape(cfg.grid_size, cfg.grid_size)
     return Problem(T_true=T, S_true=S, C_true=C, T_1bit=T_1bit, Om=Om,
-                   mean_slf=cfg.mean_slf)
+                   mean_slf=cfg.mean_slf, peaks=peaks)
 
 
 def sample_entry_mask(

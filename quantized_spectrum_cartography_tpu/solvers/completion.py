@@ -160,3 +160,123 @@ def recover_dowjons_unquantized(
     C = c_step(S).T
     return RecoveryResult(S=S, C=C, T_hat=get_tensor(S, C),
                           nmses=nmses, costs=costs, aux={"Z": Z})
+
+
+def run_descent_ae(
+    ae_input_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    x0: jnp.ndarray,
+    C: jnp.ndarray,
+    T_obs: jnp.ndarray,
+    W: jnp.ndarray,
+    lr: float = 0.01,
+    max_iters: int = 10,
+    min_iters: int = 5,
+    tol: float = 1e-5,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The AE-latent S-step with the reference's early-stop semantics
+    (`backup/algorithms/nn_descent_ae.py:72-142` run_descent): the
+    optimized variable is the frozen completion network's own INPUT
+    (mask-channel ‖ map-channel, gradients flow into both), cost is the
+    masked squared tensor residual at fixed C, Adam(lr=0.01), at most
+    `loop_count`=10 iterations, and from the 6th iteration on the loop
+    breaks BEFORE applying the step when the loss improvement drops below
+    1e-5 (`:128-131` check-then-step order).
+
+    TPU-native form: one `lax.while_loop` whose carry holds (x, Adam
+    state, previous loss); the stop predicate reproduces check-then-step
+    by evaluating value+grad at the top of the body and freezing x when
+    the improvement test fires — no Python-level control flow, so the
+    whole alternation jits.
+
+    ae_input_apply: [R, I, J, 2] -> [R, I, J] completed SLFs.
+    x0 [R, I, J, 2]; C [R, K]; T_obs/W broadcastable [K, I, J].
+    Returns (x, S_hat [R, I, J], iterations_used, final_loss).
+    """
+    opt = optax.adam(lr)
+
+    def cost_of(x):
+        return jnp.sum(jnp.square(W * (get_tensor(ae_input_apply(x), C)
+                                       - T_obs)))
+
+    prev0 = cost_of(x0)
+
+    def cond(c):
+        x, st, prev, i, stop = c
+        return jnp.logical_and(i < max_iters, jnp.logical_not(stop))
+
+    def body(c):
+        x, st, prev, i, stop = c
+        loss, g = jax.value_and_grad(cost_of)(x)
+        # reference `:128`: if i>5 and previous_loss - loss < 1e-5: break
+        hit = jnp.logical_and(i >= min_iters, prev - loss < tol)
+        up, st2 = opt.update(g, st, x)
+        x2 = jax.tree.map(lambda a, b: jnp.where(hit, a, b),
+                          x, optax.apply_updates(x, up))
+        st2 = jax.tree.map(lambda a, b: jnp.where(hit, a, b), st, st2)
+        return (x2, st2, loss, i + 1, hit)
+
+    x, _, final_loss, iters, _ = jax.lax.while_loop(
+        cond, body, (x0, opt.init(x0), prev0, jnp.int32(0),
+                     jnp.bool_(False)))
+    return x, ae_input_apply(x), iters, final_loss
+
+
+def recover_dowjons_ae(
+    T_obs: jnp.ndarray,
+    Om: jnp.ndarray,
+    ae_input_apply: Callable[[jnp.ndarray], jnp.ndarray],
+    num_emitters: int = 2,
+    outer_iters: int = 10,
+    nnls_iters: int = 100,
+    lr: float = 0.01,
+    scale: float = 50.0,
+    S_init: Optional[jnp.ndarray] = None,
+    T_true: Optional[jnp.ndarray] = None,
+) -> RecoveryResult:
+    """DowJons with the AE S-step (`joint_opt_ae.m:444-465` chooses between
+    the GAN `optimize_z_raw` and the AE `run_descent` each outer
+    iteration; this is the AE variant; `recover_dowjons_unquantized` is
+    the GAN one).  C-step: exact NNLS per frequency row over observed
+    locations (`:403-418`).  S-step: `run_descent_ae`, feeding the
+    network-input estimate back across outer iterations the way the
+    MATLAB driver round-trips `test_slf` through py.run_descent.
+
+    Seeded by SPA (`:213-246`) unless S_init is given.
+    """
+    from quantized_spectrum_cartography_tpu.baselines.spa import nmf_spa
+
+    K, I, J = T_obs.shape
+    R = num_emitters
+    W1 = Om.astype(T_obs.dtype)                    # [I, J]
+    W = W1[None]                                   # [1, I, J]
+    Wf = W1.reshape(1, -1)
+    T_flat = (T_obs * W).reshape(K, -1)
+
+    if S_init is None:
+        _, S_flat = nmf_spa(T_flat, R)
+        S_init = S_flat.reshape(R, I, J)
+
+    # network-input estimate: mask channel ‖ scaled map channel
+    x = jnp.stack([jnp.broadcast_to(W1, (R, I, J)), S_init * scale], -1)
+
+    def c_step(S):
+        S_masked = S.reshape(R, -1) * Wf
+        return nnls_rows(S_masked.T, T_flat, iters=nnls_iters).T   # [R, K]
+
+    track = T_true is not None
+    T_ref = T_true if track else jnp.zeros_like(T_obs)
+
+    def outer(carry, _):
+        x, _ = carry
+        C = c_step(ae_input_apply(x))
+        x, S, _, loss = run_descent_ae(ae_input_apply, x, C, T_obs, W,
+                                       lr=lr)
+        err = nmse(get_tensor(S, C), T_ref) if track else jnp.float32(0.0)
+        return (x, loss), (loss, err)
+
+    (x, _), (costs, nmses) = jax.lax.scan(
+        outer, (x, jnp.float32(0.0)), None, length=outer_iters)
+    S = ae_input_apply(x)
+    C = c_step(S)
+    return RecoveryResult(S=S, C=C, T_hat=get_tensor(S, C),
+                          nmses=nmses, costs=costs, aux={"x": x})

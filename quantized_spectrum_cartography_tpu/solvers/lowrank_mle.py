@@ -10,7 +10,7 @@ vmappable over a batch of maps.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +46,21 @@ from quantized_spectrum_cartography_tpu.solvers.base import (
 )
 
 
+class SolverState(NamedTuple):
+    """The full scan carry of a low-rank MLE run — a plain pytree of
+    arrays, so it Orbax-round-trips (`training/checkpoints.py`) for
+    mid-run snapshot/resume of long sweeps (SURVEY.md section 5.4; the
+    reference has no mid-run resume at all).  `iteration` is the absolute
+    outer-iteration counter, so projection cadence
+    ((i+1) % projection_interval) continues exactly where it left off."""
+
+    S: jnp.ndarray
+    C: jnp.ndarray
+    opt_s: tuple
+    opt_c: tuple
+    iteration: jnp.ndarray          # int32 scalar
+
+
 def recover_lowrank_mle(
     T_obs: jnp.ndarray,
     S_init: jnp.ndarray,
@@ -62,6 +77,7 @@ def recover_lowrank_mle(
     use_fused: bool = True,
     nll_mode: str = "auto",
     obs_encoding: str = "auto",
+    state: Optional[SolverState] = None,
 ) -> RecoveryResult:
     """Recover (S, C) from 1-bit observations T_obs in {0, 1}.
 
@@ -72,6 +88,11 @@ def recover_lowrank_mle(
     use_fused routes the probit BCE through the fused Pallas kernel as the
     2-bin linear-link ordinal case (sigmoid link always takes the generic
     path).
+
+    `state` resumes a previous run from its snapshot: the result's
+    aux["state"] (optionally Orbax-saved/restored in between) continues
+    the exact trajectory — N iters then M resumed iters equals N+M
+    straight iters bitwise (tests/test_solver_resume.py).
     """
     track_true = T_true is not None
     T_ref = T_true if track_true else jnp.zeros_like(T_obs)
@@ -173,13 +194,21 @@ def recover_lowrank_mle(
         err = nmse(get_tensor(S, C), T_ref) if track_true else jnp.float32(0.0)
         return (S, C, ss, cs), (cost, err)
 
-    init = (
-        S_init,
-        C_init,
-        opt_s.init(S_init),
-        opt_c.init(C_init),
-    )
-    (S, C, _, _), (costs, nmses) = jax.lax.scan(
-        outer_step, init, jnp.arange(cfg.max_iters))
+    if state is not None:
+        init = (state.S, state.C, state.opt_s, state.opt_c)
+        start = jnp.asarray(state.iteration, jnp.int32)
+    else:
+        init = (
+            S_init,
+            C_init,
+            opt_s.init(S_init),
+            opt_c.init(C_init),
+        )
+        start = jnp.int32(0)
+    (S, C, ss, cs), (costs, nmses) = jax.lax.scan(
+        outer_step, init, start + jnp.arange(cfg.max_iters))
+    final = SolverState(S=S, C=C, opt_s=ss, opt_c=cs,
+                        iteration=start + cfg.max_iters)
     return RecoveryResult(
-        S=S, C=C, T_hat=get_tensor(S, C), nmses=nmses, costs=costs)
+        S=S, C=C, T_hat=get_tensor(S, C), nmses=nmses, costs=costs,
+        aux={"state": final})

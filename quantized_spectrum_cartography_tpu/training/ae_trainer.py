@@ -34,6 +34,12 @@ class AETrainConfig:
     activation: str = "selu"
     onebit_input: bool = False   # SLFDataset1bit-style +-1 inputs
     scale: float = 50.0          # same O(1) scaling trick as the GAN
+    # 'slf'   — single spatial loss fields (SLFDataset semantics; the
+    #           Nasdac per-emitter completion input)
+    # 'band'  — single frequency bands of full rank-R maps (mixtures), the
+    #           DeepComp per-band completion input (deep_comp.py:21-42)
+    # 'mixed' — alternate halves of each batch
+    data_mode: str = "slf"
 
 
 def train_ae(
@@ -51,8 +57,30 @@ def train_ae(
     opt = optax.adam(cfg.lr)
     opt_state = opt.init(params)
 
-    sampler = make_slf_sampler(physics)
+    slf_sampler = make_slf_sampler(physics)
     bcfg = SLFBatchConfig(batch_size=cfg.batch_size, onebit=cfg.onebit_input)
+
+    def band_sampler(k, n):
+        # single bands of full rank-R maps: sample n SLF pairs + a random
+        # column of an L2-normalized PSD-like weight vector per map
+        from quantized_spectrum_cartography_tpu.physics.psd import (
+            column_normalize)
+        k1, k2 = jax.random.split(k)
+        R = physics.num_emitters
+        slfs = slf_sampler(k1, n * R).reshape(n, R, *((physics.grid_size,) * 2))
+        w = jnp.abs(jax.random.normal(k2, (n, R, 1, 1))) * 0.3
+        return jnp.sum(slfs * w, axis=1)
+
+    if cfg.data_mode == "slf":
+        sampler = slf_sampler
+    elif cfg.data_mode == "band":
+        sampler = band_sampler
+    else:                                      # 'mixed'
+        def sampler(k, n):
+            k1, k2 = jax.random.split(k)
+            half = n // 2
+            return jnp.concatenate(
+                [slf_sampler(k1, half), band_sampler(k2, n - half)])
 
     def loss_fn(params, batch_stats, inp, target):
         out, mut = model.apply(
@@ -95,3 +123,16 @@ def make_ae_completer(model: Autoencoder, variables, scale: float):
         return out[0, :, :, 0] / scale
 
     return complete
+
+
+def make_ae_input_fn(model: Autoencoder, variables, scale: float):
+    """Raw batched apply on the network's OWN input layout — the variable
+    `solvers.completion.run_descent_ae` optimizes (nn_descent_ae.py:106
+    `test_slf = z; test_slf.requires_grad = True`): x [R, I, J, 2]
+    (mask-channel, scale*map-channel) -> completed SLFs [R, I, J]."""
+
+    def apply(x: jnp.ndarray) -> jnp.ndarray:
+        out = model.apply(variables, x, train=False)
+        return out[:, :, :, 0] / scale
+
+    return apply

@@ -38,6 +38,12 @@ class VAETrainConfig:
     kl_warmup_steps: int = 3000   # anneal the KL weight 0 -> beta: without
                                   # it most seeds posterior-collapse (decoder
                                   # ignores z and emits the mean map)
+    free_bits: float = 0.05       # per-latent-dim KL floor (nats): dims whose
+                                  # batch-mean KL is below the floor stop
+                                  # contributing gradient toward 0, which
+                                  # removes the posterior-collapse attractor
+                                  # warm-up alone does not (round-1 RESULTS.md:
+                                  # ~1 in 3 seeds collapsed).  0 disables.
 
 
 def train_vae(
@@ -67,7 +73,17 @@ def train_vae(
             {"params": params, "batch_stats": batch_stats}, inp, k,
             train=True, mutable=["batch_stats"])
         _, bce, kl = model.loss(recon, target, mean, logstd)
-        total = bce + kl_w * cfg.beta * kl
+        if cfg.free_bits > 0.0:
+            # free-bits objective: per-dim batch-mean KL floored at the
+            # free-bits level, so near-collapsed dims get zero gradient
+            # toward further collapse (the raw `kl` is still what we log)
+            kl_dims = 0.5 * jnp.mean(
+                jnp.square(mean) + jnp.exp(2.0 * logstd)
+                - 2.0 * logstd - 1.0, axis=0)
+            kl_obj = jnp.sum(jnp.maximum(kl_dims, cfg.free_bits))
+        else:
+            kl_obj = kl
+        total = bce + kl_w * cfg.beta * kl_obj
         return total, (mut["batch_stats"], bce, kl)
 
     @jax.jit

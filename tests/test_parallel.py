@@ -142,3 +142,42 @@ def test_data_parallel_program_is_collective_free():
     for op in ("all-reduce", "all-gather", "all-to-all",
                "collective-permute", "reduce-scatter"):
         assert hlo.count(op) == 0, f"unexpected {op} in data-parallel HLO"
+
+
+def test_ksharded_full_solver_matches_unsharded():
+    """The full Adam+scan K-sharded solver must produce the same recovery
+    at ('data'=2,'model'=4) as at ('data'=8,'model'=1) — sharding the
+    frequency axis with one psum per step changes nothing numerically."""
+    from quantized_spectrum_cartography_tpu.parallel import (
+        recover_lowrank_mle_ksharded)
+
+    Bn, R, K, G = 8, 2, 16, 16
+    IJ = G * G
+    rng = np.random.default_rng(3)
+    S_true = jnp.asarray(rng.uniform(0, 0.05, (Bn, R, IJ)).astype(np.float32))
+    C_true = jnp.asarray(rng.uniform(0, 1, (Bn, R, K)).astype(np.float32))
+    T = jnp.einsum("brp,brk->bkp", S_true, C_true)
+    qcfg = QuantizerConfig(boundaries=B.QUANTIZATION_BOUNDARIES_4_BINS_LOG,
+                           noise_std=5.0, log_offset=B.LOG_OFFSET_4)
+    bb = jnp.asarray(np.array(qcfg.boundaries))
+    Y = quantize_log(jax.random.PRNGKey(1), T, 0.5, bb, qcfg.log_offset)
+    W, U = bb[Y], bb[Y + 1]
+
+    scfg = SolverConfig(max_iters=12, lr_s=0.003, projection_interval=4,
+                        rank_truncation=6)
+    S0 = jnp.zeros((Bn, R, IJ))
+    C0 = jnp.full((Bn, R, K), 0.01)
+
+    S_a, C_a, costs_a = recover_lowrank_mle_ksharded(
+        make_mesh((2, 4)), W, U, S0, C0, scfg, qcfg)
+    S_b, C_b, costs_b = recover_lowrank_mle_ksharded(
+        make_mesh((8, 1)), W, U, S0, C0, scfg, qcfg)
+
+    np.testing.assert_allclose(np.asarray(costs_a), np.asarray(costs_b),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(S_a), np.asarray(S_b),
+                               rtol=1e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(C_a), np.asarray(C_b),
+                               rtol=1e-3, atol=1e-6)
+    # the solve made progress
+    assert float(jnp.mean(costs_a[:, -1])) < float(jnp.mean(costs_a[:, 0]))
