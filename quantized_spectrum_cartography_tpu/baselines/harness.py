@@ -26,6 +26,7 @@ Re-design of the MATLAB comparison harness
 from __future__ import annotations
 
 import dataclasses
+import zlib
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -255,7 +256,10 @@ def run_conditions(
             kgen, krun = jax.random.split(key)
             hp = make_problem(kgen, cond, physics)
             for name, fn in methods.items():
-                res = fn(jax.random.fold_in(krun, hash(name) % (2 ** 31)),
+                # stable per-method fold (Python's hash() is per-process
+                # randomized, which would break --seed reproducibility)
+                res = fn(jax.random.fold_in(
+                    krun, zlib.crc32(name.encode()) % (2 ** 31)),
                          hp)
                 s = float(sre(res["T_hat"], hp.T_true))
                 cap = caps.get(name)
@@ -412,7 +416,8 @@ def run_sweep(
             kgen, krun = jax.random.split(key)
             prob = generate_onebit_problem(kgen, physics, sample_fraction=f)
             for name, fn in methods.items():
-                res = fn(jax.random.fold_in(krun, hash(name) % (2**31)),
+                res = fn(jax.random.fold_in(
+                    krun, zlib.crc32(name.encode()) % (2 ** 31)),
                          prob, f)
                 mr = evaluate_method(
                     res["T_hat"], prob.T_true,

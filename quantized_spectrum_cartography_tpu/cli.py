@@ -221,6 +221,57 @@ def _cmd_sweep(args):
     print(json.dumps(results, indent=2))
 
 
+def _cmd_conditions(args):
+    """The full joint_opt_ae.m evaluation protocol: condition grid over
+    one axis, reference metrics (SRE/NAE/miss/false), any registered
+    methods.  Deep methods activate when checkpoints are supplied."""
+    from quantized_spectrum_cartography_tpu.baselines import (
+        condition_grid,
+        run_conditions,
+        standard_methods,
+    )
+
+    kwargs = {}
+    if args.ae_checkpoint:
+        from quantized_spectrum_cartography_tpu.models import Autoencoder
+        from quantized_spectrum_cartography_tpu.training import load_checkpoint
+        from quantized_spectrum_cartography_tpu.training.ae_trainer import (
+            make_ae_completer,
+            make_ae_input_fn,
+        )
+
+        state = dict(load_checkpoint(args.ae_checkpoint))
+        scale = float(state.pop("scale"))
+        # activation is an architecture choice, not a parameter — a wrong
+        # one loads silently and degrades completions, so it is a flag
+        ae = Autoencoder(activation=args.ae_activation)
+        kwargs["ae_complete"] = make_ae_completer(ae, state, scale)
+        kwargs["ae_input_apply"] = make_ae_input_fn(ae, state, scale)
+    if args.vae_checkpoint:
+        from quantized_spectrum_cartography_tpu.solvers.vae_prior import (
+            load_vae_prior,
+        )
+
+        gen, z_dim, _ = load_vae_prior(args.vae_checkpoint)
+        kwargs["gen_apply"] = gen
+        kwargs["z_dim"] = z_dim
+
+    methods = standard_methods(**kwargs)
+    if args.methods:
+        missing = [m for m in args.methods if m not in methods]
+        if missing:
+            raise SystemExit(
+                f"methods {missing} unavailable (registered: "
+                f"{sorted(methods)}; deep methods need --ae-checkpoint / "
+                f"--vae-checkpoint)")
+        methods = {m: methods[m] for m in args.methods}
+    conds = condition_grid(args.axis)
+    out = run_conditions(methods, conds, num_examples=args.examples,
+                         seed=args.seed,
+                         log_fn=print if args.verbose else None)
+    print(json.dumps(out, indent=2))
+
+
 def _cmd_report(args):
     import os
 
@@ -305,6 +356,26 @@ def main(argv=None):
     pw.add_argument("--fractions", type=float, nargs="+", default=[0.05, 0.1])
     pw.add_argument("--examples", type=int, default=3)
     pw.set_defaults(fn=_cmd_sweep)
+
+    pc = sub.add_parser(
+        "conditions", help="full joint_opt_ae.m condition-grid protocol")
+    pc.add_argument("--axis", default=None,
+                    choices=[None, "fraction", "num_emitters",
+                             "shadow_sigma", "xc", "snr"],
+                    help="reference sweep axis (default: base condition only)")
+    pc.add_argument("--examples", type=int, default=1)
+    pc.add_argument("--seed", type=int, default=0)
+    pc.add_argument("--methods", nargs="+", default=None,
+                    help="subset of registered methods (default: all)")
+    pc.add_argument("--ae-checkpoint", default=None,
+                    help="completion-AE checkpoint -> deepcomp/nasdac/dowjons_ae")
+    pc.add_argument("--ae-activation", default="selu",
+                    help="activation the AE was trained with "
+                    "(AETrainConfig.activation; not stored in the checkpoint)")
+    pc.add_argument("--vae-checkpoint", default=None,
+                    help="VAE prior checkpoint -> dowjons")
+    pc.add_argument("--verbose", action="store_true")
+    pc.set_defaults(fn=_cmd_conditions)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -25,6 +25,9 @@ _STAGES: Tuple[Tuple[int, int, int, int], ...] = (
 
 class Discriminator(nn.Module):
     spectral_norm: bool = False
+    output_logits: bool = False   # raw score for hinge-loss training
+                                  # (sigmoid output matches the reference's
+                                  # BCE recipe, gan.py:275)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -41,7 +44,8 @@ class Discriminator(nn.Module):
             x = SNConv(1, 3, 1, 0, use_bias=False)(x, update_stats=train)
         else:
             x = conv_torch(1, 3, 1, 0, use_bias=False)(x)   # 3 -> 1
-        return nn.sigmoid(x.reshape(x.shape[0], -1))
+        x = x.reshape(x.shape[0], -1)
+        return x if self.output_logits else nn.sigmoid(x)
 
 
 def SNDiscriminator() -> Discriminator:

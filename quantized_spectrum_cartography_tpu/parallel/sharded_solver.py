@@ -166,13 +166,22 @@ def recover_lowrank_mle_ksharded(
             # hand-split VJP so the ONE psum (dS) is explicit and the nll
             # reduction stays local
             X = jnp.einsum("rk,rp->kp", C, S, precision=_HIGH)
-            x = jnp.log(X + offset)
+            # clamp the log-link argument: an Adam step between nonneg
+            # projections can push X + offset below zero, which would NaN
+            # the whole trajectory (the reference never sees this because
+            # its S comes out of a sigmoid generator)
+            Xo = jnp.maximum(X + offset, jnp.float32(1e-20))
+            x = jnp.log(Xo)
             nll_loc, pull = jax.vjp(
                 lambda xx: -jnp.sum(log_prob_probit_bounds(Wl, Ul, xx,
                                                            sigma)), x)
             dx = pull(jnp.ones_like(nll_loc))[0]   # cotangent keeps the
             # shard_map varying-axes type of the local output
-            dX = dx / (X + offset)
+            # where the clamp is active the clamped forward is constant in
+            # X, so its true gradient is 0 — dividing by the 1e-20 floor
+            # instead would blow up Adam's second moment to inf and freeze
+            # those coordinates for the rest of the solve
+            dX = jnp.where(X + offset > 1e-20, dx / Xo, 0.0)
             dC = jnp.einsum("kp,rp->rk", dX, S, precision=_HIGH)
             dS_partial = jnp.einsum("rk,kp->rp", C, dX, precision=_HIGH)
             dS = jax.lax.psum(dS_partial, "model")        # the one collective

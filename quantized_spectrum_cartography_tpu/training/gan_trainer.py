@@ -40,6 +40,10 @@ class GANTrainConfig:
                                  # sigmoid range without clipping; divided
                                  # back out at inference
     real_label: float = 0.9      # one-sided label smoothing
+    loss: str = "bce"            # 'bce' (reference DCGAN recipe) or 'hinge'
+                                 # (the standard SNGAN objective: D on raw
+                                 # scores, relu(1 -/+ score); pair with TTUR
+                                 # lr_d > lr_g)
 
 
 @jax.tree_util.register_dataclass
@@ -58,7 +62,8 @@ class GANState:
 
 def init_gan(key: jax.Array, cfg: GANTrainConfig):
     g = make_generator(cfg.z_dim)
-    d = Discriminator(spectral_norm=cfg.spectral_norm)
+    d = Discriminator(spectral_norm=cfg.spectral_norm,
+                      output_logits=(cfg.loss == "hinge"))
     kg, kd = jax.random.split(key)
     gv = g.init(kg, jnp.zeros((1, cfg.z_dim)), train=True)
     dv = d.init(kd, jnp.zeros((1, 51, 51, 1)), train=True)
@@ -114,7 +119,11 @@ def make_train_step(
             p_fake, _ = d_forward(d_params, mut.get("batch_stats", state.d_batch_stats),
                                   mut.get("spectral_stats", state.d_spectral),
                                   jax.lax.stop_gradient(fake), False)
-            loss = _bce(p_real, cfg.real_label) + _bce(p_fake, 0.0)
+            if cfg.loss == "hinge":
+                loss = (jnp.mean(jax.nn.relu(1.0 - p_real))
+                        + jnp.mean(jax.nn.relu(1.0 + p_fake)))
+            else:
+                loss = _bce(p_real, cfg.real_label) + _bce(p_fake, 0.0)
             return loss, mut
 
         (d_loss, d_mut), d_grad = jax.value_and_grad(
@@ -130,6 +139,8 @@ def make_train_step(
         def g_loss_fn(g_params):
             fake2, g_bs2 = g_forward(g_params, g_bs, z2)
             p_fake, _ = d_forward(d_params, d_bs, d_sp, fake2, False)
+            if cfg.loss == "hinge":
+                return -jnp.mean(p_fake), g_bs2
             return _bce(p_fake, 1.0), g_bs2
 
         (g_loss, g_bs_new), g_grad = jax.value_and_grad(

@@ -38,12 +38,16 @@ class VAETrainConfig:
     kl_warmup_steps: int = 3000   # anneal the KL weight 0 -> beta: without
                                   # it most seeds posterior-collapse (decoder
                                   # ignores z and emits the mean map)
-    free_bits: float = 0.05       # per-latent-dim KL floor (nats): dims whose
+    free_bits: float = 0.1        # per-latent-dim KL floor (nats): dims whose
                                   # batch-mean KL is below the floor stop
                                   # contributing gradient toward 0, which
                                   # removes the posterior-collapse attractor
                                   # warm-up alone does not (round-1 RESULTS.md:
                                   # ~1 in 3 seeds collapsed).  0 disables.
+                                  # 0.1 measured to also lift bad-init seeds
+                                  # out of the decoder-mean BCE plateau by
+                                  # ~20k steps (VAE_FREEBITS.json); 0.05 only
+                                  # prevented KL->0, not the plateau.
 
 
 def train_vae(

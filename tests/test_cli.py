@@ -80,3 +80,19 @@ def test_cli_report(tmp_path, capsys):
     assert len(res["written"]) == 6
     for path in res["written"]:
         assert os.path.getsize(path) > 1000
+
+
+def test_cli_conditions(capsys):
+    main(["conditions", "--methods", "tps", "--examples", "1"])
+    out = json.loads(capsys.readouterr().out)
+    (label, per_method), = out.items()
+    assert label.startswith("f=0.05")
+    stats = per_method["tps"]
+    assert 0.0 <= stats["miss_prob"] <= 1.0
+    assert stats["valid"] == 1
+
+
+def test_cli_conditions_unknown_method():
+    import pytest
+    with pytest.raises(SystemExit):
+        main(["conditions", "--methods", "dowjons"])  # needs --vae-checkpoint

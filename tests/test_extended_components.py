@@ -188,3 +188,42 @@ def test_recalibrate_gain_recovers_true_scale(rng):
     assert abs(float(gamma) - gamma_true) / gamma_true < 0.15
     np.testing.assert_allclose(np.asarray(T_cal), float(gamma) * np.asarray(T),
                                rtol=1e-6)
+
+
+def test_recalibrate_gains_per_emitter_recovers_scales(rng):
+    """Quantize get_tensor(diag(g)*S, C), hand the calibrator the
+    unscaled factors: it must recover the per-emitter gains (which a
+    single global gamma cannot when they differ)."""
+    import quantized_spectrum_cartography_tpu.ops.boundaries as B
+    from quantized_spectrum_cartography_tpu.ops.lowrank import get_tensor
+    from quantized_spectrum_cartography_tpu.ops.metrics import nmse
+    from quantized_spectrum_cartography_tpu.ops.quantizer import quantize_log
+    from quantized_spectrum_cartography_tpu.solvers.calibrate import (
+        recalibrate_gain,
+        recalibrate_gains_per_emitter,
+    )
+
+    R, K, G = 2, 16, 21
+    # spatially disjoint emitters so the two gains are identifiable
+    S = np.zeros((R, G, G), np.float32)
+    S[0, :10, :] = rng.uniform(0.001, 0.01, (10, G))
+    S[1, 11:, :] = rng.uniform(0.001, 0.01, (10, G))
+    S = jnp.asarray(S)
+    C = jnp.asarray(rng.uniform(0.2, 1.0, (R, K)).astype(np.float32))
+    g_true = jnp.asarray([0.3, 3.0])
+    T_true = get_tensor(S * g_true[:, None, None], C)
+
+    bb = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_16_ADJUSTED))
+    offset, sigma = B.LOG_OFFSET_16_ADJUSTED, 0.3
+    Y = quantize_log(jax.random.PRNGKey(0), T_true, sigma, bb, offset)
+
+    gains, T_pe = recalibrate_gains_per_emitter(
+        S, C, Y, bb, sigma, offset, steps=300)
+    _, T_g = recalibrate_gain(get_tensor(S, C), Y, bb, sigma, offset)
+
+    err_pe = float(nmse(T_pe, T_true))
+    err_g = float(nmse(T_g, T_true))
+    assert err_pe < err_g * 0.5       # per-emitter beats global
+    assert err_pe < 0.1
+    g = np.sort(np.asarray(gains))
+    np.testing.assert_allclose(g, np.sort(np.asarray(g_true)), rtol=0.3)
