@@ -25,7 +25,7 @@ Key deviations (all TPU-motivated):
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,20 @@ from quantized_spectrum_cartography_tpu.solvers.base import RecoveryResult, inne
 from quantized_spectrum_cartography_tpu.solvers.priors import randomized_search
 
 
+class GanSolverState(NamedTuple):
+    """Scan carry of an MLE-GAN run — plain array pytree for Orbax
+    snapshot/resume of long sweeps (SURVEY.md section 5.4).  `iteration`
+    is absolute, so the one-time randomized z-search (fired at absolute
+    iteration z_search_at_iter) is not re-run by a resumed segment that
+    starts past it."""
+
+    C: jnp.ndarray
+    Z: jnp.ndarray
+    opt_c: tuple
+    opt_z: tuple
+    iteration: jnp.ndarray          # int32 scalar
+
+
 def recover_mle_gan(
     key: jax.Array,
     Y: jnp.ndarray,
@@ -68,6 +82,7 @@ def recover_mle_gan(
     use_fused: bool = True,
     nll_mode: str = "auto",
     obs_encoding: str = "bounds",
+    state: Optional[GanSolverState] = None,
 ) -> RecoveryResult:
     """Recover (S = G(Z), C) from ordinal observations Y [K, I, J].
 
@@ -76,6 +91,10 @@ def recover_mle_gan(
     gather-based path.  nll_mode picks the fused backend: 'auto' = Pallas
     on TPU / jnp elsewhere, 'xla' = the same math + analytic backward
     compiled by XLA (skips the Mosaic kernel compile), 'pallas' = force.
+
+    `state` resumes from a previous result's aux["state"]: N then M
+    resumed iterations equal N+M straight ones (the z-search placement is
+    honored in absolute-iteration terms; tests/test_solver_resume.py).
     """
     K = Y.shape[0]
     bb = jnp.asarray(qcfg.boundaries, jnp.float32)
@@ -139,11 +158,22 @@ def recover_mle_gan(
                else jnp.float32(0.0))
         return (C, Z, S, cs, zs), (cost, err)
 
-    S0 = gen_apply(Z_init)
-    carry = (C_init, Z_init, S0, opt_c.init(C_init), opt_z.init(Z_init))
+    if state is not None:
+        start = int(state.iteration)
+        carry = (state.C, state.Z, gen_apply(state.Z), state.opt_c,
+                 state.opt_z)
+    else:
+        start = 0
+        S0 = gen_apply(Z_init)
+        carry = (C_init, Z_init, S0, opt_c.init(C_init),
+                 opt_z.init(Z_init))
 
-    t = min(max(scfg.z_search_at_iter, 0), scfg.max_iters)
-    do_search = (scfg.z_search_global + scfg.z_search_local) > 0 and t < scfg.max_iters
+    # z-search fires at ABSOLUTE iteration z_search_at_iter; a resumed
+    # segment that starts past it must not re-run it
+    t_abs = max(scfg.z_search_at_iter, 0)
+    t = min(max(t_abs - start, 0), scfg.max_iters)
+    do_search = ((scfg.z_search_global + scfg.z_search_local) > 0
+                 and t_abs >= start and t < scfg.max_iters)
 
     # phase A: iterations [0, t)
     carry, traj_a = jax.lax.scan(iteration, carry, None, length=t)
@@ -174,8 +204,11 @@ def recover_mle_gan(
     # phase B: the rest
     carry, traj_b = jax.lax.scan(iteration, carry, None, length=remaining)
 
-    C, Z, S, _, _ = carry
+    C, Z, S, cs, zs = carry
     costs = jnp.concatenate([traj_a[0], traj_t[0], traj_b[0]])
     nmses = jnp.concatenate([traj_a[1], traj_t[1], traj_b[1]])
+    final = GanSolverState(C=C, Z=Z, opt_c=cs, opt_z=zs,
+                           iteration=jnp.int32(start + scfg.max_iters))
     return RecoveryResult(S=S, C=C, T_hat=get_tensor(S, C),
-                          nmses=nmses, costs=costs, aux={"Z": Z})
+                          nmses=nmses, costs=costs,
+                          aux={"Z": Z, "state": final})
