@@ -47,25 +47,22 @@ from quantized_spectrum_cartography_tpu.physics import (
 
 
 def best_permutation(S_hat: jnp.ndarray, S_true: jnp.ndarray) -> jnp.ndarray:
-    """Greedy factor matching (the role of tensorlab `cpderr` permutation
+    """Optimal factor matching (the role of tensorlab `cpderr` permutation
     fixing at joint_opt_ae.m:213-246): order S_hat rows to best match
-    S_true rows by normalized correlation.  R is small (2-5) so the greedy
-    assignment is computed hostside in numpy."""
+    S_true rows by normalized correlation, via the Hungarian algorithm
+    (globally optimal assignment — required at the R-axis sweep's R=13,
+    where greedy matching can diverge from cpderr's optimum and silently
+    inflate NAE).  Computed hostside; R <= 13 so cost is negligible."""
+    from scipy.optimize import linear_sum_assignment
+
     A = np.asarray(S_hat).reshape(S_hat.shape[0], -1)
     B = np.asarray(S_true).reshape(S_true.shape[0], -1)
     A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
     B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
     corr = A @ B.T                               # [R_hat, R_true]
-    perm = -np.ones(B.shape[0], dtype=np.int64)
-    used = set()
-    for _ in range(B.shape[0]):
-        i, j = np.unravel_index(
-            np.argmax(np.where(
-                np.isin(np.arange(corr.shape[0]), list(used))[:, None],
-                -np.inf, corr)), corr.shape)
-        perm[j] = i
-        used.add(int(i))
-        corr[:, j] = -np.inf
+    rows, cols = linear_sum_assignment(-corr)    # maximize total correlation
+    perm = np.empty(B.shape[0], dtype=np.int64)
+    perm[cols] = rows
     return jnp.asarray(perm)
 
 
@@ -298,6 +295,247 @@ def run_conditions(
                 "valid": len(a["sre"]),
             }
     return out
+
+
+# --------------------------------------------------------------------------
+# batched condition runner (vmapped Monte-Carlo examples)
+# --------------------------------------------------------------------------
+
+# methods that read HarnessProblem.sample_idx (its length N = round(f*IJ)
+# varies with the sampling fraction; every other method consumes only the
+# dense [I, J] mask, so stripping sample_idx from their inputs keeps their
+# compiled programs shape-stable across the whole fraction axis)
+SAMPLE_IDX_METHODS = frozenset({"tps"})
+
+
+class BatchedHarness:
+    """The condition-grid runner at device speed.
+
+    `run_conditions` reproduces the reference protocol faithfully but runs
+    it the way the MATLAB harness did — a host loop per example per method
+    — which re-dispatches (and on shape changes re-jits) constantly.  This
+    runner executes each condition's Monte-Carlo examples as ONE vmapped
+    device program per method (all shapes are static within a condition),
+    with three compile-minimizing choices:
+
+    - shadow_sigma and the SNR noise scale enter the generator program as
+      *traced scalars* (the SNR=None case is the scale-0 instance of the
+      same program), so the shadow / Xc / SNR axes reuse one compiled
+      program end to end — only R (factor shapes) and, for TPS only, the
+      observed-sample count N force new programs;
+    - the correlation Cholesky factor (the only Xc-dependent piece) is a
+      host-side cached input, not a compile-time constant;
+    - permutation matching + NAE accumulation happen in numpy on the host
+      after ONE device->host transfer per (condition, method).
+
+    Semantics (validity caps, detection event rules, (total+1)
+    denominators) match `run_conditions` exactly; the Monte-Carlo seed
+    streams differ (documented: batched examples draw from
+    `split(PRNGKey(seed*100_000 + ci*1_000), B)`).
+    Reference: `joint_opt_ae.m:82-117` (condition loop), `:118-180`
+    (example pipeline), `:496-501` (BTD validity), `:514-554` (detection).
+    """
+
+    def __init__(
+        self,
+        methods: Dict[str, HarnessFn],
+        physics: PhysicsConfig = PhysicsConfig(),
+        validity_caps: Optional[Dict[str, float]] = None,
+        log_fn=None,
+    ):
+        self.methods = methods
+        self.physics = physics
+        self.caps = (DEFAULT_VALIDITY_CAPS if validity_caps is None
+                     else validity_caps)
+        self.log = log_fn or (lambda *a: None)
+        self._gen_cache: Dict = {}
+        self._method_cache: Dict = {}
+        self._metrics = jax.jit(jax.vmap(self._metrics_one))
+
+    # -- jitted pieces ----------------------------------------------------
+
+    @staticmethod
+    def _metrics_one(T_hat, T_true, T_noisy, peaks):
+        s = sre(T_hat, T_true)
+        m, p, f, l = detection_counts(T_hat, T_noisy, peaks)
+        return s, m, p, f, l
+
+    def _problem_gen(self, R: int):
+        """Batched example generator for rank R; shadow_sigma, snr_scale
+        AND the observed-sample count are traced, so ONE compiled program
+        covers the shadow / Xc / SNR / fraction axes — only R (factor
+        shapes) forces a new program."""
+        if R in self._gen_cache:
+            return self._gen_cache[R]
+        pcfg = dataclasses.replace(
+            self.physics, num_emitters=R, psd_basis="s", separable=True)
+        I = pcfg.grid_size
+        IJ = I * I
+
+        def gen_one(key, chol, shadow_sigma, snr_scale, num_samples):
+            cfg = dataclasses.replace(pcfg, shadow_sigma=shadow_sigma)
+            k_map, k_noise, k_mask = jax.random.split(key, 3)
+            from quantized_spectrum_cartography_tpu.physics import (
+                generate_map as gen_map)
+            T_true, S, C, peaks = gen_map(k_map, cfg, chol)
+            T_true = jnp.maximum(T_true, 0.0)
+            # uniform SNR noise (joint_opt_ae.m:137-147); snr_scale =
+            # 10^(-snr/10), 0 when noiseless — sn=0 makes this exact
+            Ps = jnp.sum(jnp.square(T_true))
+            sn = jnp.sqrt(Ps * snr_scale / T_true.size)
+            sn = jnp.where(sn >= 1e2, 0.0, sn)
+            T = jnp.maximum(
+                T_true + sn * 1.73 * jax.random.uniform(k_noise,
+                                                        T_true.shape), 0.0)
+            # randperm(IJ, num) with num TRACED: i is observed iff it sits
+            # in perm[:num], i.e. iff argsort(perm)[i] < num — identical
+            # set to the slice for the same key, but shape-stable
+            perm = jax.random.permutation(k_mask, IJ)
+            Om = (jnp.argsort(perm) < num_samples).reshape(I, I)
+            return dict(T_true=T_true, T_noisy=T, S_true=S, C_true=C,
+                        peaks=peaks, Om=Om)
+
+        fn = jax.jit(jax.vmap(gen_one, in_axes=(0, None, None, None, None)))
+        self._gen_cache[R] = fn
+        return fn
+
+    def _method_batched(self, name: str, fn: HarnessFn):
+        if name in self._method_cache:
+            return self._method_cache[name]
+
+        def one(key, arrs):
+            hp = HarnessProblem(
+                T_true=arrs["T_true"], T_noisy=arrs["T_noisy"],
+                S_true=arrs["S_true"], C_true=arrs["C_true"],
+                peaks=arrs["peaks"], Om=arrs["Om"],
+                sample_idx=arrs.get("sample_idx"), fraction=0.0)
+            out = fn(key, hp)
+            return {k: v for k, v in out.items() if v is not None}
+
+        wrapped = jax.jit(jax.vmap(one))
+        self._method_cache[name] = wrapped
+        return wrapped
+
+    # -- runner -----------------------------------------------------------
+
+    def run(
+        self,
+        conditions: Sequence[Condition],
+        num_examples: int,
+        seed: int = 0,
+    ) -> Dict[str, Dict[str, Dict[str, float]]]:
+        """Same result structure as `run_conditions`, plus raw detection
+        event counts (miss_count / peak_count / false_count / low_count)
+        and the per-example SRE list for dispersion reporting."""
+        from quantized_spectrum_cartography_tpu.physics.shadowing import (
+            correlation_cholesky)
+
+        out: Dict[str, Dict[str, Dict[str, float]]] = {}
+        needs_idx = any(n in SAMPLE_IDX_METHODS for n in self.methods)
+        for ci, cond in enumerate(conditions):
+            I = self.physics.grid_size
+            num = int(round(cond.fraction * I * I))
+            genf = self._problem_gen(cond.num_emitters)
+            chol = jnp.asarray(correlation_cholesky(I, float(cond.xc)))
+            snr_scale = (0.0 if cond.snr is None
+                         else 10.0 ** (-cond.snr / 10.0))
+            keys = jax.random.split(
+                jax.random.PRNGKey(seed * 100_000 + ci * 1_000),
+                num_examples)
+            arrs = dict(genf(keys, chol, jnp.float32(cond.shadow_sigma),
+                             jnp.float32(snr_scale), jnp.int32(num)))
+            if needs_idx:
+                # host-side observed-location lists (order-invariant for
+                # TPS: its linear system is symmetric under point
+                # permutation); every example has exactly `num` entries
+                om_np = np.asarray(arrs["Om"])
+                arrs["sample_idx"] = jnp.asarray(np.stack(
+                    [np.argwhere(om_np[b]) for b in range(num_examples)]
+                ).astype(np.int32))
+            out[cond.label()] = {}
+            for name, fn in self.methods.items():
+                mkeys = jax.vmap(
+                    lambda k: jax.random.fold_in(
+                        k, zlib.crc32(name.encode()) % (2 ** 31)))(keys)
+                marrs = ({k: v for k, v in arrs.items()
+                          if k != "sample_idx"}
+                         if name not in SAMPLE_IDX_METHODS else arrs)
+                res = self._method_batched(name, fn)(mkeys, marrs)
+                s, m_, p_, f_, l_ = self._metrics(
+                    res["T_hat"], arrs["T_true"], arrs["T_noisy"],
+                    arrs["peaks"])
+                out[cond.label()][name] = self._accumulate(
+                    name, cond, res, arrs, np.asarray(s),
+                    np.asarray(m_), np.asarray(p_), np.asarray(f_),
+                    np.asarray(l_))
+                self.log(f"{cond.label()} {name}: "
+                         f"sre {out[cond.label()][name]['sre']:.4f} "
+                         f"({out[cond.label()][name]['valid']} valid)")
+        return out
+
+    def _accumulate(self, name, cond, res, arrs, s, m_, p_, f_, l_):
+        """Host-side aggregation with the reference accumulation rules."""
+        cap = self.caps.get(name)
+        valid = np.ones(s.shape[0], bool) if cap is None else (s < cap)
+        nae_s_list: List[float] = []
+        nae_c_list: List[float] = []
+        if "S_hat" in res:
+            S_hat_all = np.asarray(res["S_hat"])
+            S_true_all = np.asarray(arrs["S_true"])
+            C_hat_all = (np.asarray(res["C_hat"]) if "C_hat" in res
+                         else None)
+            C_true_all = np.asarray(arrs["C_true"])
+            R = S_true_all.shape[1]
+            for b in range(s.shape[0]):
+                if not valid[b]:
+                    continue
+                perm = np.asarray(
+                    best_permutation(S_hat_all[b], S_true_all[b]))
+                nae_s_list.append(
+                    _nae_tensor_np(S_hat_all[b][perm], S_true_all[b], R))
+                if C_hat_all is not None:
+                    nae_c_list.append(_nae_tensor_np(
+                        C_hat_all[b][perm], C_true_all[b], R))
+        miss = int(m_[valid].sum())
+        peaks_n = int(p_[valid].sum())
+        false = int(f_[valid].sum())
+        lows = int(l_[valid].sum())
+        sre_valid = s[valid]
+        return {
+            "sre": float(sre_valid.mean()) if sre_valid.size else float("nan"),
+            "nae_s": (float(np.mean(nae_s_list)) if nae_s_list
+                      else float("nan")),
+            "nae_c": (float(np.mean(nae_c_list)) if nae_c_list
+                      else float("nan")),
+            # reference denominators: (total+1), joint_opt_ae.m:549-554
+            "miss_prob": miss / (peaks_n + 1),
+            "false_prob": false / (lows + 1),
+            "miss_count": miss, "peak_count": peaks_n,
+            "false_count": false, "low_count": lows,
+            "valid": int(valid.sum()),
+            "sre_all": [float(x) for x in s],
+        }
+
+
+def _nae_tensor_np(X_hat: np.ndarray, X_true: np.ndarray, R: int) -> float:
+    """numpy twin of ops.metrics.nae_tensor (joint_opt_ae.m:1014-1016)."""
+    a = X_hat / max(np.sum(np.abs(X_hat)), 1e-12)
+    b = X_true / max(np.sum(np.abs(X_true)), 1e-12)
+    return float(np.sum(np.abs(a - b)) / R)
+
+
+def run_conditions_batched(
+    methods: Dict[str, HarnessFn],
+    conditions: Sequence[Condition],
+    num_examples: int = 10,
+    physics: PhysicsConfig = PhysicsConfig(),
+    seed: int = 0,
+    validity_caps: Optional[Dict[str, float]] = None,
+    log_fn=None,
+) -> Dict[str, Dict[str, Dict[str, float]]]:
+    """One-shot convenience wrapper over `BatchedHarness.run`."""
+    return BatchedHarness(methods, physics, validity_caps, log_fn).run(
+        conditions, num_examples, seed)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,51 @@
+"""Standard method registry from the committed checkpoints.
+
+One-call construction of the five published methods
+(`backup/algorithms/joint_opt_ae.m:570-655`): TPS and BTD need no trained
+model; DeepComp and Nasdac use the completion autoencoder
+(`checkpoints/ae_completion`, trained by `training/ae_trainer.py` — the
+reference ships its AE as a stripped checkpoint, `deep_comp.py:14-16`);
+DowJons uses the deep generative prior (`checkpoints/vae_best`; the
+reference used an SNGAN generator, `qmc/qmc_utils.py:22-33` — asymmetry
+disclosed in RESULTS.md).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+AE_CKPT = os.path.join(REPO_ROOT, "checkpoints", "ae_completion", "final")
+VAE_CKPT = os.path.join(REPO_ROOT, "checkpoints", "vae_best", "final")
+
+
+def load_pretrained_methods(
+    ae_ckpt: str = AE_CKPT,
+    vae_ckpt: str = VAE_CKPT,
+    only: Optional[tuple] = None,
+    **standard_kwargs,
+) -> Dict:
+    """Build `standard_methods` with the committed AE completer and VAE
+    prior.  `only` restricts the returned registry (e.g. the
+    miss-detection protocol needs just deepcomp/nasdac/dowjons)."""
+    from quantized_spectrum_cartography_tpu.baselines.harness import (
+        standard_methods)
+    from quantized_spectrum_cartography_tpu.models import Autoencoder
+    from quantized_spectrum_cartography_tpu.solvers.vae_prior import (
+        load_vae_prior)
+    from quantized_spectrum_cartography_tpu.training import load_checkpoint
+    from quantized_spectrum_cartography_tpu.training.ae_trainer import (
+        make_ae_completer)
+
+    state = dict(load_checkpoint(ae_ckpt))
+    scale = float(state.pop("scale"))
+    ae_complete = make_ae_completer(
+        Autoencoder(activation="selu"), state, scale)
+    gen, z_dim, _ = load_vae_prior(vae_ckpt)
+    methods = standard_methods(gen_apply=gen, z_dim=z_dim,
+                               ae_complete=ae_complete, **standard_kwargs)
+    if only is not None:
+        methods = {k: v for k, v in methods.items() if k in only}
+    return methods

@@ -42,10 +42,20 @@ class RecoveryScheduler:
         solver_fn: Callable[[Dict[str, jnp.ndarray]], Dict[str, jnp.ndarray]],
         batch_size: int,
         max_wait_ms: float = 50.0,
+        pipeline_depth: int = 3,
+        drain_threads: int = 2,
     ):
+        """pipeline_depth bounds in-flight device batches (dispatch runs
+        ahead of result downloads); drain_threads downloads results
+        concurrently — with one drain thread, per-batch device_get
+        round-trips serialize and bound throughput when the host<->device
+        link latency exceeds per-batch compute (the round-2 15% serving
+        gap); 2+ threads overlap download RTT across in-flight batches."""
         self._solver = solver_fn
         self._batch = batch_size
         self._max_wait = max_wait_ms / 1000.0
+        self._depth = max(1, pipeline_depth)
+        self._drains = max(1, drain_threads)
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -83,15 +93,17 @@ class RecoveryScheduler:
         return reqs
 
     def _loop(self):
-        # 2-stage pipeline: this loop dispatches the (async) device solve
-        # and hands the in-flight result to a drain thread that performs
-        # the blocking device_get and resolves the futures — so batch N's
-        # host transfer overlaps batch N+1's collection and compute.  The
-        # depth-2 semaphore bounds in-flight device work.
+        # Pipelined serving: this loop dispatches (async) device solves
+        # and hands in-flight results to a POOL of drain threads that
+        # perform the blocking device_get and resolve the futures — batch
+        # N's host transfer overlaps batch N+1's collection and compute,
+        # and with 2+ drain threads the per-batch download round-trips
+        # themselves overlap.  The depth semaphore bounds in-flight
+        # device work (memory + queueing latency).
         import threading as _threading
 
         inflight: "queue.Queue" = queue.Queue()
-        slots = _threading.Semaphore(2)
+        slots = _threading.Semaphore(self._depth)
 
         def drain():
             while True:
@@ -115,8 +127,10 @@ class RecoveryScheduler:
                 finally:
                     slots.release()
 
-        drainer = _threading.Thread(target=drain, daemon=True)
-        drainer.start()
+        drainers = [_threading.Thread(target=drain, daemon=True)
+                    for _ in range(self._drains)]
+        for d in drainers:
+            d.start()
         try:
             while not self._stop.is_set():
                 reqs = self._collect()
@@ -137,5 +151,7 @@ class RecoveryScheduler:
                     inflight.put((reqs, None, e))
                 self.batches_dispatched += 1
         finally:
-            inflight.put(None)
-            drainer.join(timeout=30)
+            for _ in drainers:
+                inflight.put(None)
+            for d in drainers:
+                d.join(timeout=30)

@@ -198,6 +198,18 @@ int qsc_loader_next(QscLoader* L, float* out, int timeout_ms) {
   return 1;
 }
 
+// ordered mmap read of items [start, start+count) into out; returns the
+// number of items copied (short at EOF).  Complements the sampling path:
+// deterministic whole-shard reads (multi-host per-host feeding) must not
+// depend on sampler state.
+int qsc_loader_read(QscLoader* L, size_t start, size_t count, float* out) {
+  if (start >= L->num_items) return 0;
+  size_t n = count < L->num_items - start ? count : L->num_items - start;
+  std::memcpy(out, L->data + start * L->item_elems,
+              n * L->item_elems * sizeof(float));
+  return int(n);
+}
+
 size_t qsc_loader_num_items(QscLoader* L) { return L->num_items; }
 uint64_t qsc_loader_batches_served(QscLoader* L) {
   return L->batches_served.load();

@@ -33,8 +33,8 @@ def build_runtime(force: bool = False) -> str:
         if force or (not os.path.exists(_SO)
                      or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                 "-o", _SO, _SRC, "-lpthread"],
+                ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                 "-fPIC", "-o", _SO, _SRC, "-lpthread"],
                 check=True, capture_output=True)
     return _SO
 
@@ -67,6 +67,9 @@ def _load() -> ctypes.CDLL:
                                     ctypes.c_int]
     lib.qsc_loader_num_items.restype = ctypes.c_size_t
     lib.qsc_loader_num_items.argtypes = [ctypes.c_void_p]
+    lib.qsc_loader_read.restype = ctypes.c_int
+    lib.qsc_loader_read.argtypes = [ctypes.c_void_p, ctypes.c_size_t,
+                                    ctypes.c_size_t, ctypes.c_void_p]
     lib.qsc_loader_batches_served.restype = ctypes.c_uint64
     lib.qsc_loader_batches_served.argtypes = [ctypes.c_void_p]
     lib.qsc_loader_close.argtypes = [ctypes.c_void_p]
@@ -146,6 +149,15 @@ class NativeShardLoader:
     @property
     def batches_served(self) -> int:
         return int(self._lib.qsc_loader_batches_served(self._L))
+
+    def read(self, start: int, count: int) -> np.ndarray:
+        """Ordered read of items [start, start+count) straight off the
+        mmap — deterministic per-host feeding (multi-host data path);
+        independent of the sampling threads."""
+        out = np.empty((count, self._elems), np.float32)
+        n = self._lib.qsc_loader_read(
+            self._L, start, count, out.ctypes.data_as(ctypes.c_void_p))
+        return out[:n].reshape((n,) + self._item_shape)
 
     def next_batch(self, timeout_ms: int = -1) -> np.ndarray:
         out = np.empty((self._batch, self._elems), np.float32)

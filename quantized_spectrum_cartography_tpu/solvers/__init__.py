@@ -8,7 +8,10 @@ from quantized_spectrum_cartography_tpu.solvers.gan_inversion import (  # noqa: 
     init_z,
     run_onebit_inversion,
 )
-from quantized_spectrum_cartography_tpu.solvers.dip_solver import recover_dip  # noqa: F401
+from quantized_spectrum_cartography_tpu.solvers.dip_solver import (  # noqa: F401
+    recover_dip,
+    recover_dip_tensor,
+)
 from quantized_spectrum_cartography_tpu.solvers.priors import (  # noqa: F401
     make_generator_apply,
     randomized_search,

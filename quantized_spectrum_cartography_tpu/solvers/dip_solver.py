@@ -77,3 +77,75 @@ def recover_dip(
         step, (params, batch_stats, opt.init(params)), None, length=steps)
     S_hat, _ = forward(params, batch_stats)
     return S_hat, losses, nmses
+
+
+def recover_dip_tensor(
+    key: jax.Array,
+    T_obs: jnp.ndarray,          # [K, I, J] 1-bit observations in {0, 1}
+    mean: float,
+    std: float,
+    num_emitters: int = 2,
+    steps: int = 1000,
+    lr: float = 0.001,
+    z_dim: int = 256,
+    T_true: Optional[jnp.ndarray] = None,
+):
+    """Full-tensor 1-bit recovery with DIP spatial priors: each emitter's
+    SLF is an untrained `DecoderDip` instance (fixed z_r, Adam on its
+    weights), C a free nonnegative PSD factor — the DIP-prior counterpart
+    of the free-S low-rank MLE (`backup/notebooks/onebit_lowrank.ipynb`
+    cell 1 protocol), directly comparable on the fixture floor.
+
+    Reference anchors: architecture `deep_prior/networks/dip.py:20-89`;
+    the lost driver `qmc/dip.py` (empty file).
+    Returns (S_hat [R,I,J], C [R,K], losses, nmses).
+    """
+    from quantized_spectrum_cartography_tpu.ops.lowrank import get_tensor
+
+    R = num_emitters
+    model = DecoderDip(z_dim=z_dim)
+    kz, kp, kc = jax.random.split(key, 3)
+    zs = jax.random.normal(kz, (R, 1, z_dim))
+    init_keys = jax.random.split(kp, R)
+    variables = jax.vmap(
+        lambda k, z: model.init(k, z, train=True))(init_keys, zs)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    C0 = 0.01 * jax.random.uniform(kc, (R, T_obs.shape[0]))
+
+    track = T_true is not None
+    T_ref = T_true if track else jnp.zeros_like(T_obs)
+
+    def forward(params, batch_stats):
+        def one(p, bs, z):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": bs}, z, train=True,
+                mutable=["batch_stats"])
+            return out[0, :, :, 0], mut["batch_stats"]
+
+        S, bs = jax.vmap(one)(params, batch_stats, zs)
+        return S, bs
+
+    def loss_fn(params, C, batch_stats):
+        S, bs = forward(params, batch_stats)
+        T_hat = get_tensor(S, C)
+        return neg_likelihood_1bit(T_hat, T_obs, mean, std,
+                                   probit=True), bs
+
+    opt = optax.adam(lr)
+
+    def step(carry, _):
+        params, C, bs, st = carry
+        (loss, bs), g = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(params, C, bs)
+        u, st = opt.update(g, st, (params, C))
+        params, C = optax.apply_updates((params, C), u)
+        C = jnp.maximum(C, 0.0)                     # nonneg projection
+        err = (nmse_metric(get_tensor(forward(params, bs)[0], C), T_ref)
+               if track else jnp.float32(0.0))
+        return (params, C, bs, st), (loss, err)
+
+    (params, C, batch_stats, _), (losses, nmses) = jax.lax.scan(
+        step, (params, C0, batch_stats, opt.init((params, C0))), None,
+        length=steps)
+    S_hat, _ = forward(params, batch_stats)
+    return S_hat, C, losses, nmses

@@ -13,5 +13,6 @@ from quantized_spectrum_cartography_tpu.training.ae_trainer import (  # noqa: F4
 )
 from quantized_spectrum_cartography_tpu.training.vae_trainer import (  # noqa: F401
     VAETrainConfig,
+    heldout_elbo,
     train_vae,
 )

@@ -48,6 +48,11 @@ class VAETrainConfig:
                                   # out of the decoder-mean BCE plateau by
                                   # ~20k steps (VAE_FREEBITS.json); 0.05 only
                                   # prevented KL->0, not the plateau.
+    ema_decay: float = 0.0        # exponential moving average of params
+                                  # (0 disables).  EMA weights average out
+                                  # late-training noise — the round-2
+                                  # residual seed variance mechanism —
+                                  # and are returned as variables_ema.
 
 
 def train_vae(
@@ -91,7 +96,7 @@ def train_vae(
         return total, (mut["batch_stats"], bce, kl)
 
     @jax.jit
-    def step(params, batch_stats, opt_state, k, i):
+    def step(params, ema, batch_stats, opt_state, k, i):
         k1, k2, k3 = jax.random.split(k, 3)
         maps = sampler(k1, cfg.batch_size)
         inp, target = mask_batch(k2, maps, bcfg)
@@ -100,14 +105,19 @@ def train_vae(
             loss_fn, has_aux=True)(params, batch_stats, inp, target, k3,
                                    kl_w)
         up, opt_state = opt.update(g, opt_state, params)
-        return (optax.apply_updates(params, up), batch_stats, opt_state,
-                total, bce, kl)
+        params = optax.apply_updates(params, up)
+        if cfg.ema_decay > 0.0:
+            d = cfg.ema_decay
+            ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                               ema, params)
+        return params, ema, batch_stats, opt_state, total, bce, kl
 
+    ema = params
     hist = []
     for i in range(cfg.steps):
         key, k = jax.random.split(key)
-        params, batch_stats, opt_state, total, bce, kl = step(
-            params, batch_stats, opt_state, k, jnp.float32(i))
+        params, ema, batch_stats, opt_state, total, bce, kl = step(
+            params, ema, batch_stats, opt_state, k, jnp.float32(i))
         if (i + 1) % log_every == 0:
             hist.append((i + 1, float(total), float(bce), float(kl)))
             log_fn(f"vae step {i+1}: loss {float(total):.4f} "
@@ -115,4 +125,44 @@ def train_vae(
     variables = {"params": params, "batch_stats": batch_stats}
     if checkpoint_dir:
         save_checkpoint(f"{checkpoint_dir}/final", variables)
-    return variables, {"metrics": hist}
+    info: Dict[str, Any] = {"metrics": hist}
+    if cfg.ema_decay > 0.0:
+        info["variables_ema"] = {"params": ema, "batch_stats": batch_stats}
+    return variables, info
+
+
+def heldout_elbo(
+    cfg: VAETrainConfig,
+    variables,
+    physics: PhysicsConfig = PhysicsConfig(),
+    key: Optional[jax.Array] = None,
+    batches: int = 8,
+) -> Dict[str, float]:
+    """Held-out ELBO terms on fresh simulator draws — a TRAINING-TIME
+    model-quality criterion (same objective as training, fixed keys, no
+    downstream recovery probe) usable for principled checkpoint selection
+    across seeds: plateaued/collapsed seeds show high BCE / near-zero KL.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(987_654)
+    model = VAE(latent_dim=cfg.latent_dim, beta=cfg.beta)
+    sampler = make_slf_sampler(physics)
+    bcfg = SLFBatchConfig(batch_size=cfg.batch_size, normalize_peak=True)
+
+    @jax.jit
+    def eval_batch(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        maps = sampler(k1, cfg.batch_size)
+        inp, target = mask_batch(k2, maps, bcfg)
+        recon, mean, logstd = model.apply(variables, inp, k3, train=False)
+        _, bce, kl = model.loss(recon, target, mean, logstd)
+        return bce, kl
+
+    bces, kls = [], []
+    for i in range(batches):
+        b, k_ = eval_batch(jax.random.fold_in(key, i))
+        bces.append(float(b))
+        kls.append(float(k_))
+    bce, kl = float(jnp.mean(jnp.asarray(bces))), float(
+        jnp.mean(jnp.asarray(kls)))
+    return {"bce": bce, "kl": kl, "elbo_loss": bce + cfg.beta * kl}

@@ -133,3 +133,25 @@ def test_dip_recovery_smoke():
         onebit=True, steps=5)
     assert S_hat.shape == (51, 51)
     assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_dip_tensor_recovery_mechanics():
+    """Full-tensor DIP (R decoder instances + free C): shapes, finite
+    losses, and the likelihood decreasing over the run."""
+    from quantized_spectrum_cartography_tpu.solvers import recover_dip_tensor
+
+    key = jax.random.PRNGKey(0)
+    K, I = 8, 51
+    S_true = jax.random.uniform(jax.random.PRNGKey(1), (2, I, I)) * 0.1
+    C_true = jax.random.uniform(jax.random.PRNGKey(2), (2, K))
+    T_true = jnp.einsum("rij,rk->kij", S_true, C_true)
+    mean = 0.01
+    y01 = (T_true > mean).astype(jnp.float32)
+    S_hat, C_hat, losses, _ = recover_dip_tensor(
+        key, y01, mean=mean, std=0.05, num_emitters=2, steps=30,
+        T_true=T_true)
+    assert S_hat.shape == (2, I, I) and C_hat.shape == (2, K)
+    losses = np.asarray(losses)
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    assert np.all(np.asarray(C_hat) >= 0.0)

@@ -90,6 +90,30 @@ def test_vae_training_steps():
     assert np.all(np.isfinite(totals))
 
 
+def test_vae_ema_and_heldout_elbo():
+    """EMA weights track params (decay-weighted) and the held-out ELBO
+    criterion returns finite terms for both raw and EMA variables."""
+    from quantized_spectrum_cartography_tpu.training import heldout_elbo
+
+    cfg = VAETrainConfig(steps=4, batch_size=4, latent_dim=8,
+                         ema_decay=0.5)
+    variables, diag = train_vae(
+        jax.random.PRNGKey(0), cfg, SMALL_PHYS, log_every=1,
+        log_fn=lambda *a: None)
+    assert "variables_ema" in diag
+    # EMA must differ from raw params (decay < 1, steps > 0) but share
+    # the tree structure
+    raw_leaves = jax.tree.leaves(variables["params"])
+    ema_leaves = jax.tree.leaves(diag["variables_ema"]["params"])
+    assert len(raw_leaves) == len(ema_leaves)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(raw_leaves, ema_leaves))
+    for v in (variables, diag["variables_ema"]):
+        crit = heldout_elbo(cfg, v, SMALL_PHYS, batches=2)
+        assert np.isfinite(crit["elbo_loss"])
+        assert crit["elbo_loss"] == crit["bce"] + cfg.beta * crit["kl"]
+
+
 def test_gan_sample_batch():
     gen = lambda z: jnp.zeros((z.shape[0], 51, 51)) + z[:, :1, None]
     s, z = gan_sample_batch(jax.random.PRNGKey(0), gen, 5, z_dim=16)

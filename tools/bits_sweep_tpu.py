@@ -1,0 +1,264 @@
+"""1-to-8-bit end-to-end recovery sweep + 256-bin (W,U)-kernel throughput.
+
+SURVEY §0's problem statement is "1-bit up to 8-bit"; round 2 measured
+only up to 4-bit log-domain.  This tool runs batched free-factor ordinal
+MLE recovery (the multi-bit analogue of the 1-bit low-rank solver) at
+1/2/3/4 bits (log-domain tables, `qmc/utils.py:30-52`) and 8 bits
+(256-bin uniform LINEAR table, `qmc/utils.py:17-27` uniform boundaries),
+plus the unquantized masked-LS floor — one fixed problem set (64 maps,
+f=0.1 per-entry sampling), reporting NMSE and NMSE_LOG per bit depth.
+
+Compile economy: (W,U) bounds are gathered outside the solver, so their
+shapes are bin-count independent — ONE compiled program serves every
+log-domain depth (sigma/offset enter traced); the linear-domain 8-bit
+program and the Euclidean floor are two more.  Last, the generic
+(W,U) Pallas kernel is timed at the 256-bin operating point (B=128
+chain-serialized, single host fence) — the multi-bit throughput
+datapoint.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+t0 = time.time()
+
+
+def log(*a):
+    print(f"[{time.time()-t0:6.1f}s]", *a, flush=True)
+
+
+log("backend:", jax.default_backend())
+
+from quantized_spectrum_cartography_tpu.config import PhysicsConfig
+from quantized_spectrum_cartography_tpu.ops import boundaries as B
+from quantized_spectrum_cartography_tpu.ops.likelihood import (
+    gather_bin_bounds, log_prob_probit_bounds, masked_nll)
+from quantized_spectrum_cartography_tpu.ops.lowrank import (
+    get_tensor, pad_spatial, project_nonneg, project_rank, safe_fro)
+from quantized_spectrum_cartography_tpu.ops.metrics import nmse, nmse_log
+from quantized_spectrum_cartography_tpu.ops.quantizer import (
+    quantize, quantize_log)
+from quantized_spectrum_cartography_tpu.physics import generate_map_batch
+
+BATCH, R, ITERS, LR = 64, 2, 300, 0.02
+FRACTION = 0.1
+METRIC_OFFSET = B.LOG_OFFSET_4
+
+CONFIGS = [
+    # (label, bits, boundaries, offset(None=linear), sigma)
+    ("1-bit",  1, (B.QUANTIZATION_BOUNDARIES_4_BINS_LOG[0],
+                   B.QUANTIZATION_BOUNDARIES_4_BINS_LOG[2],
+                   B.QUANTIZATION_BOUNDARIES_4_BINS_LOG[-1]),
+     B.LOG_OFFSET_4, 1.287),
+    ("2-bit",  2, B.QUANTIZATION_BOUNDARIES_4_BINS_LOG, B.LOG_OFFSET_4,
+     1.287),
+    ("3-bit",  3, B.QUANTIZATION_BOUNDARIES_7_ADJUSTED,
+     B.LOG_OFFSET_7_ADJUSTED, 0.5),
+    ("4-bit",  4, B.QUANTIZATION_BOUNDARIES_16_ADJUSTED,
+     B.LOG_OFFSET_16_ADJUSTED, 0.5),
+    ("8-bit",  8, B.QUANTIZATION_BOUNDARIES_256_BINS_UNIFORM, None,
+     B.SD_256_BINS_UNIFORM),
+]
+
+T, S_true, C_true, _ = generate_map_batch(
+    jax.random.PRNGKey(0), PhysicsConfig(), BATCH)
+T = jnp.maximum(T, 0.0)
+mask = jax.random.bernoulli(
+    jax.random.PRNGKey(3), FRACTION, T.shape).astype(jnp.float32)
+log(f"generated {BATCH} maps")
+
+
+def solver_body(Wb, Ub, mask, T_true, sigma, offset, linear):
+    """Batched ordinal MLE on pre-gathered (W, U) bounds.  `linear` is a
+    Python bool (two programs); sigma/offset are traced scalars."""
+    Bn, K, I, J = Wb.shape
+    opt = optax.adam(LR)
+
+    def one_loss(S, C, Wb, Ub, m):
+        Th = jnp.maximum(get_tensor(S, C), 0.0)
+        x = Th if linear else jnp.log(Th + offset)
+        return (masked_nll(log_prob_probit_bounds(Wb, Ub, x, sigma), m)
+                + 0.01 * safe_fro(C))
+
+    def loss(params):
+        S, C = params
+        return jnp.sum(jax.vmap(one_loss)(S, C, Wb, Ub, mask))
+
+    S0 = 0.01 * jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
+                                          (Bn, R, I, J)))
+    C0 = 0.01 * jnp.ones((Bn, R, K))
+
+    def step(carry, i):
+        params, state = carry
+        l, g = jax.value_and_grad(loss)(params)
+        up, state = opt.update(g, state, params)
+        S, C = optax.apply_updates(params, up)
+        S, C = jax.lax.cond(
+            (i + 1) % 25 == 0,
+            lambda sc: (project_nonneg(project_rank(sc[0], 10)),
+                        project_nonneg(sc[1])),
+            lambda sc: sc, (S, C))
+        return ((S, C), state), l
+
+    (params, _), _ = jax.lax.scan(
+        step, ((S0, C0), opt.init((S0, C0))), jnp.arange(ITERS))
+    S, C = params
+    T_hat = jnp.maximum(jax.vmap(get_tensor)(S, C), 0.0)
+    return (jax.vmap(nmse)(T_hat, T_true),
+            jax.vmap(lambda a, b: nmse_log(a, b, METRIC_OFFSET))(
+                T_hat, T_true))
+
+
+solve_log = jax.jit(lambda Wb, Ub, m, Tt, sig, off: solver_body(
+    Wb, Ub, m, Tt, sig, off, False))
+solve_lin = jax.jit(lambda Wb, Ub, m, Tt, sig: solver_body(
+    Wb, Ub, m, Tt, sig, 0.0, True))
+
+
+@jax.jit
+def solve_floor(mask, T_true):
+    """Unquantized masked-LS low-rank fit — the floor the bit ladder
+    approaches (identical optimizer/projection budget)."""
+    Bn, K, I, J = T_true.shape
+    opt = optax.adam(LR)
+
+    def loss(params):
+        S, C = params
+        Th = jax.vmap(get_tensor)(S, C)
+        return jnp.sum(mask * jnp.square(Th - T_true)) * 1e4
+
+    S0 = 0.01 * jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
+                                          (Bn, R, I, J)))
+    C0 = 0.01 * jnp.ones((Bn, R, K))
+
+    def step(carry, i):
+        params, state = carry
+        l, g = jax.value_and_grad(loss)(params)
+        up, state = opt.update(g, state, params)
+        S, C = optax.apply_updates(params, up)
+        S, C = jax.lax.cond(
+            (i + 1) % 25 == 0,
+            lambda sc: (project_nonneg(project_rank(sc[0], 10)),
+                        project_nonneg(sc[1])),
+            lambda sc: sc, (S, C))
+        return ((S, C), state), l
+
+    (params, _), _ = jax.lax.scan(
+        step, ((S0, C0), opt.init((S0, C0))), jnp.arange(ITERS))
+    S, C = params
+    T_hat = jnp.maximum(jax.vmap(get_tensor)(S, C), 0.0)
+    return (jax.vmap(nmse)(T_hat, T_true),
+            jax.vmap(lambda a, b: nmse_log(a, b, METRIC_OFFSET))(
+                T_hat, T_true))
+
+
+results = {}
+for label, bits, bb_t, offset, sigma in CONFIGS:
+    bb = jnp.asarray(np.array(bb_t), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(2), BATCH)
+    if offset is None:
+        Y = jax.vmap(lambda t, k: quantize(k, t, sigma, bb))(T, keys)
+    else:
+        Y = jax.vmap(lambda t, k: quantize_log(k, t, sigma, bb, offset))(
+            T, keys)
+    span = (int(jnp.min(Y)), int(jnp.max(Y)))
+    Wb, Ub = jax.vmap(lambda y: gather_bin_bounds(y, bb))(Y)
+    t1 = time.time()
+    if offset is None:
+        e, el = solve_lin(Wb, Ub, mask, T, jnp.float32(sigma))
+    else:
+        e, el = solve_log(Wb, Ub, mask, T, jnp.float32(sigma),
+                          jnp.float32(offset))
+    e = np.asarray(jax.device_get(e))
+    el = np.asarray(jax.device_get(el))
+    dt = time.time() - t1
+    results[label] = {
+        "bits": bits, "num_bins": len(bb_t) - 1, "sigma": float(sigma),
+        "domain": "linear" if offset is None else "log",
+        "bin_span_observed": span,
+        "nmse_mean": round(float(e.mean()), 4),
+        "nmse_median": round(float(np.median(e)), 4),
+        "nmse_log_mean": round(float(el.mean()), 4),
+        "nmse_log_median": round(float(np.median(el)), 4),
+        "wall_s": round(dt, 1),
+    }
+    log(f"{label}: NMSE {e.mean():.4f} NMSE_LOG {el.mean():.4f} "
+        f"(bins seen {span}, {dt:.0f}s)")
+
+e, el = solve_floor(mask, T)
+e = np.asarray(jax.device_get(e))
+el = np.asarray(jax.device_get(el))
+results["unquantized floor"] = {
+    "bits": None, "num_bins": None, "sigma": 0.0, "domain": "linear",
+    "nmse_mean": round(float(e.mean()), 4),
+    "nmse_median": round(float(np.median(e)), 4),
+    "nmse_log_mean": round(float(el.mean()), 4),
+    "nmse_log_median": round(float(np.median(el)), 4),
+}
+log(f"unquantized floor: NMSE {e.mean():.4f} NMSE_LOG {el.mean():.4f}")
+
+# ---- (W,U)-kernel throughput at the 256-bin operating point -------------
+from quantized_spectrum_cartography_tpu.ops.pallas import (
+    fused_quantized_nll, pack_bounds)
+
+K, I, J = 64, 51, 51
+bb256 = jnp.asarray(np.array(B.QUANTIZATION_BOUNDARIES_256_BINS_UNIFORM),
+                    jnp.float32)
+sigma256 = float(B.SD_256_BINS_UNIFORM)
+Y1 = jax.vmap(lambda t, k: quantize(k, t, sigma256, bb256))(
+    T[:1], jax.random.split(jax.random.PRNGKey(5), 1))[0]
+W1, U1 = pack_bounds(Y1, bb256, mask[0])
+Sp = pad_spatial(jnp.asarray(
+    np.random.default_rng(0).uniform(0, 0.05, (R, I * J)).astype(
+        np.float32)))
+Cp = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (K, R)).astype(
+    np.float32))
+Bn, CHAIN = 128, 10
+Wb_ = jnp.broadcast_to(W1, (Bn,) + W1.shape)
+Ub_ = jnp.broadcast_to(U1, (Bn,) + U1.shape)
+Sb = jnp.broadcast_to(Sp, (Bn,) + Sp.shape)
+Cb = jnp.broadcast_to(Cp, (Bn,) + Cp.shape)
+vfwd = jax.vmap(lambda s, c, w, u: fused_quantized_nll(
+    s, c, w, u, sigma256, 0.0, False, True, None, "pallas"))
+
+
+@jax.jit
+def chain(s0):
+    def link(s, _):
+        nll = vfwd(s, Cb, Wb_, Ub_)
+        return s + 1e-20 * nll[:, None, None], jnp.sum(nll)
+    s, nlls = jax.lax.scan(link, s0, None, length=CHAIN)
+    return jnp.sum(nlls) + jnp.sum(s[0, 0, :1])
+
+
+t1 = time.time()
+v = float(chain(Sb))
+log(f"256-bin kernel compiled in {time.time()-t1:.0f}s (value {v:.3e})")
+t1 = time.time()
+float(chain(Sb))
+dt = (time.time() - t1) / CHAIN
+gbps = 2 * Wb_.size * 4 / dt / 1e9
+results["kernel_256bin"] = {
+    "fwd_ms_b128": round(dt * 1e3, 2),
+    "fwd_gbps_raw": round(gbps, 1),
+    "note": "(W,U) layout is bin-count independent: 256-bin multi-bit "
+            "runs at the same kernel bandwidth as 4-bin (linear link, "
+            "robust log-prob path)",
+}
+log(f"256-bin (W,U) kernel: {dt*1e3:.2f} ms @B=128, {gbps:.0f} GB/s raw")
+
+with open("/root/repo/BITS_SWEEP.json", "w") as f:
+    json.dump({
+        "config": {"batch": BATCH, "fraction": FRACTION, "iters": ITERS,
+                   "lr": LR, "R": R, "metric_offset": METRIC_OFFSET},
+        "results": results,
+    }, f, indent=1)
+log("wrote BITS_SWEEP.json")

@@ -1,0 +1,91 @@
+"""Published miss-detection-probability curves — the last unmatched
+BASELINE.md anchors.
+
+The reference publishes miss probabilities at rho = [1, 2.5, 5, 7.5, 10]%
+sampling for DeepComp, Nasdac, and DowJons
+(`backup/algorithms/joint_opt_ae.m:998-1004`), aggregated over
+Monte-Carlo examples with the exact event rules at `:514-544` and the
+(total+1) denominators at `:549-554`.  This tool runs the same protocol
+through the batched harness (50 vmapped examples per rho -> 6400
+peak-candidate events per point at R=2, K=64) and writes MISSPROB.json
+with our three curves next to the published rows.
+
+Usage: PYTHONPATH defaults fine (script inserts /root/repo). ~6 compiled
+programs total; minutes on the chip after compiles.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+t0 = time.time()
+
+
+def log(*a):
+    print(f"[{time.time()-t0:6.1f}s]", *a, flush=True)
+
+
+log("backend:", jax.default_backend())
+
+from quantized_spectrum_cartography_tpu.baselines import (
+    BatchedHarness, condition_grid, load_pretrained_methods)
+from quantized_spectrum_cartography_tpu.config import PhysicsConfig
+
+# joint_opt_ae.m:998-1004 — the published miss-probability rows
+PUBLISHED = {
+    "deepcomp": [0.5360, 0.2554, 0.0977, 0.0244, 0.0213],
+    "nasdac":   [0.2882, 0.1115, 0.0262, 0.0089, 0.0069],
+    "dowjons":  [0.2688, 0.0952, 0.0292, 0.0038, 0.0007],
+}
+RHOS = (0.01, 0.025, 0.05, 0.075, 0.10)
+NUM_EXAMPLES = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+methods = load_pretrained_methods(only=("deepcomp", "nasdac", "dowjons"))
+log("methods:", list(methods))
+
+harness = BatchedHarness(methods, PhysicsConfig(), log_fn=log)
+conds = condition_grid("fraction", RHOS)
+out = harness.run(conds, num_examples=NUM_EXAMPLES, seed=0)
+wall = time.time() - t0
+
+curves = {m: [] for m in methods}
+events = {m: [] for m in methods}
+for cond in conds:
+    for m in methods:
+        st = out[cond.label()][m]
+        curves[m].append(st["miss_prob"])
+        events[m].append({"miss": st["miss_count"], "peaks": st["peak_count"],
+                          "false": st["false_count"], "lows": st["low_count"],
+                          "sre": st["sre"]})
+
+log(f"total wall {wall:.1f}s")
+all_pass = True
+for m in methods:
+    ours = np.asarray(curves[m])
+    pub = np.asarray(PUBLISHED[m])
+    ok = bool(np.all(ours <= pub + 1e-9))
+    all_pass &= ok
+    log(f"{m:9s} ours  " + " ".join(f"{v:.4f}" for v in ours))
+    log(f"{m:9s} publ  " + " ".join(f"{v:.4f}" for v in pub)
+        + ("  <= published at every rho: PASS" if ok else "  FAIL"))
+
+with open("/root/repo/MISSPROB.json", "w") as f:
+    json.dump({
+        "protocol": "joint_opt_ae.m:514-544 events, :549-554 denominators",
+        "rhos": list(RHOS),
+        "num_examples": NUM_EXAMPLES,
+        "published": PUBLISHED,
+        "ours": curves,
+        "events": events,
+        "wall_seconds": wall,
+        "all_match_or_beat": all_pass,
+        "notes": "DowJons uses the VAE prior (reference: SNGAN); "
+                 "published rows are the reference's own Monte-Carlo "
+                 "aggregates at unspecified example counts.",
+    }, f, indent=1)
+log("wrote MISSPROB.json; all_match_or_beat =", all_pass)

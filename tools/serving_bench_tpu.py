@@ -24,6 +24,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--inner", type=int, default=5)
+    ap.add_argument("--depth", type=int, default=3)
+    ap.add_argument("--drain-threads", type=int, default=2)
     args = ap.parse_args()
 
     import jax
@@ -76,7 +78,23 @@ def main():
     print(f"compiled; streaming {args.requests} requests "
           f"(batch {B})", flush=True)
 
-    sched = RecoveryScheduler(solver_fn, batch_size=B, max_wait_ms=20.0)
+    # in-process raw bound: back-to-back batched solves, downloads fenced
+    # at the end only (the pure-compute ceiling serving is measured
+    # against — same process, same tunnel, same data)
+    n_raw = max(1, args.requests // B)
+    t0 = time.time()
+    raw_outs = [solver_fn({"T_obs": T_obs[i * B:(i + 1) * B]})
+                for i in range(n_raw)]
+    for o in raw_outs:
+        np.asarray(o["cost"])        # host fence
+    raw_dt = time.time() - t0
+    raw_maps_per_sec = n_raw * B / raw_dt
+    print(f"raw batch-solver bound: {raw_maps_per_sec:.1f} maps/s",
+          flush=True)
+
+    sched = RecoveryScheduler(solver_fn, batch_size=B, max_wait_ms=20.0,
+                              pipeline_depth=args.depth,
+                              drain_threads=args.drain_threads)
     t0 = time.time()
     submit_times = []
     futures = []
@@ -92,17 +110,25 @@ def main():
     sched.shutdown()
 
     lat = np.asarray(lat)
+    serving = args.requests / dt
     out = {
         "metric": "serving throughput, continuous-batched 1-bit recovery",
         "requests": args.requests,
         "batch": B,
-        "maps_per_sec": round(args.requests / dt, 2),
+        "pipeline_depth": args.depth,
+        "drain_threads": args.drain_threads,
+        "maps_per_sec": round(serving, 2),
+        "raw_bound_maps_per_sec": round(raw_maps_per_sec, 2),
+        "fraction_of_raw": round(serving / raw_maps_per_sec, 4),
         "latency_p50_s": round(float(np.percentile(lat, 50)), 3),
         "latency_p95_s": round(float(np.percentile(lat, 95)), 3),
+        "latency_p99_s": round(float(np.percentile(lat, 99)), 3),
         "latency_max_s": round(float(lat.max()), 3),
         "batches_dispatched": sched.batches_dispatched,
     }
     print(json.dumps(out))
+    with open("/root/repo/SERVING.json", "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
