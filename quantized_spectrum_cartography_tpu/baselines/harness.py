@@ -548,6 +548,7 @@ def standard_methods(
     ae_complete: Optional[Callable] = None,
     btd_restarts: int = 4,
     dowjons_iters: int = 30,
+    dowjons_restarts: int = 4,
     ae_input_apply: Optional[Callable] = None,
 ) -> Dict[str, HarnessFn]:
     """Method registry.  `gen_apply` (deep generative prior) enables
@@ -558,6 +559,7 @@ def standard_methods(
     harness's run_descent S-step variant (joint_opt_ae.m:444-465 via
     nn_descent_ae.run_descent).  TPS and BTD need no trained model."""
     from quantized_spectrum_cartography_tpu.baselines.btd import btd_ll1
+    from quantized_spectrum_cartography_tpu.baselines.spa import nmf_spa
     from quantized_spectrum_cartography_tpu.baselines.tps import tps_complete
 
     methods: Dict[str, HarnessFn] = {}
@@ -599,10 +601,28 @@ def standard_methods(
         def dowjons_fn(key, hp):
             from quantized_spectrum_cartography_tpu.solvers.completion import (
                 recover_dowjons_unquantized)
+            # SPA-informed latent init (joint_opt_ae.m:301-317: the
+            # reference seeds its joint stage from the SPA/NMF factors
+            # passed through the completion AE — nn_descent_ae.model_ae
+            # returns (z, completed S); random-z starts occasionally lose
+            # an emitter entirely, which dominates the miss tail).  When
+            # the completion AE is available the init target is the dense
+            # completed SLF, exactly like the reference; otherwise the
+            # masked raw SPA columns.
+            R = hp.S_true.shape[0]
+            W = hp.Om.astype(hp.T_obs.dtype)
+            _, S_flat = nmf_spa((hp.T_obs * W[None]).reshape(
+                hp.T_obs.shape[0], -1), R)
+            S_init = S_flat.reshape(R, *hp.Om.shape)
+            dense = ae_complete is not None
+            if dense:
+                S_init = jnp.stack([ae_complete(W, S_init[r])
+                                    for r in range(R)])
             res = recover_dowjons_unquantized(
                 key, hp.T_obs, hp.Om, gen_apply,
-                num_emitters=hp.S_true.shape[0], z_dim=z_dim,
-                outer_iters=dowjons_iters)
+                num_emitters=R, z_dim=z_dim,
+                outer_iters=dowjons_iters, S_init=S_init,
+                n_restarts=dowjons_restarts, S_init_dense=dense)
             return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
 
         methods["dowjons"] = dowjons_fn

@@ -104,9 +104,28 @@ def recover_dowjons_unquantized(
     nnls_iters: int = 100,
     lr_z: float = 0.01,
     T_true: Optional[jnp.ndarray] = None,
+    S_init: Optional[jnp.ndarray] = None,
+    init_steps: int = 150,
+    n_restarts: int = 1,
+    S_init_dense: bool = False,
 ) -> RecoveryResult:
     """The harness's DowJons joint optimization on unquantized samples:
 
+      Z-init: when `S_init` [R, I, J] is given (the SPA factor estimate),
+              restart 0 starts Z from a latent fit to it — the reference
+              seeds its joint optimization from the SPA/NMF stage the
+              same way (`joint_opt_ae.m:301-317` passes S_py into
+              nn_descent's init, which AE-completes it and returns the
+              latent), which is what keeps it from losing an emitter to
+              a bad random draw.  `S_init_dense=True` marks S_init as a
+              dense (already-completed) SLF estimate — the fit then uses
+              every pixel, matching the reference's completed-S init;
+              otherwise only observed entries are fit;
+      restarts: `n_restarts` independent runs (restart 0 SPA-seeded,
+              the rest fresh random Z), winner by final masked data fit
+              — the nonconvex inversion's rare total failures (an
+              emitter never found) dominate the miss-detection tail,
+              and restart selection needs no ground truth;
       C-step: exact NNLS per frequency on observed locations
               (lsqnonneg loop at joint_opt_ae.m:403-418 -> one batched
               Nesterov NNLS over all K rows)
@@ -124,8 +143,6 @@ def recover_dowjons_unquantized(
     track = T_true is not None
     T_ref = T_true if track else jnp.zeros_like(T_obs)
 
-    key, kz = jax.random.split(key)
-    Z = jax.random.normal(kz, (R, z_dim))
     opt = optax.adam(lr_z)
 
     def c_step(S):
@@ -137,27 +154,65 @@ def recover_dowjons_unquantized(
         T_hat = get_tensor(gen_apply(Z), C)
         return jnp.sum(jnp.square(W * (T_hat - T_obs)))
 
-    def outer(carry, _):
-        Z, opt_state = carry
+    def single(kz, use_spa):
+        Z = jax.random.normal(kz, (R, z_dim))
+        if S_init is not None:
+            # Raw SPA columns only carry information at observed entries
+            # (fit there); a dense completed estimate is fit everywhere.
+            # The fit is scale-invariant — closed-form per-emitter gain
+            # a* = <G,t>/<G,G> inside the loss — so it works for any
+            # generator amplitude convention (the VAE prior emits
+            # SLF-amplitude maps, solvers/vae_prior.py DEFAULT_AMP; C
+            # absorbs all amplitude in the alternation anyway).
+            fit_region = jnp.broadcast_to(
+                jnp.ones_like(W) if S_init_dense else W, S_init.shape)
+
+            def init_loss(zz):
+                Gm = gen_apply(zz)                    # [R, I, J]
+                num = jnp.sum(fit_region * Gm * S_init, axis=(1, 2),
+                              keepdims=True)
+                den = jnp.sum(fit_region * Gm * Gm, axis=(1, 2),
+                              keepdims=True)
+                a = num / jnp.maximum(den, 1e-12)
+                return jnp.sum(fit_region *
+                               jnp.square(a * Gm - S_init))
+
+            Z_fit, _ = _adam_descent(init_loss, Z, lr_z, init_steps)
+            Z = jnp.where(use_spa, Z_fit, Z)
+
+        def outer(carry, _):
+            Z, opt_state = carry
+            S = gen_apply(Z)
+            C = c_step(S).T                        # [R, K]
+
+            def zs(carry2, _):
+                Z, st = carry2
+                loss, g = jax.value_and_grad(z_loss)(Z, C)
+                up, st = opt.update(g, st, Z)
+                return (optax.apply_updates(Z, up), st), loss
+
+            (Z, opt_state), losses = jax.lax.scan(
+                zs, (Z, opt_state), None, length=z_steps_per_iter)
+            err = (nmse(get_tensor(gen_apply(Z), C), T_ref) if track
+                   else jnp.float32(0.0))
+            return (Z, opt_state), (losses[-1], err)
+
+        (Z, _), (costs, nmses) = jax.lax.scan(
+            outer, (Z, opt.init(Z)), None, length=outer_iters)
         S = gen_apply(Z)
-        C = c_step(S).T                            # [R, K]
+        C = c_step(S).T
+        final_cost = z_loss(Z, C)
+        return S, C, costs, nmses, Z, final_cost
 
-        def zs(carry2, _):
-            Z, st = carry2
-            loss, g = jax.value_and_grad(z_loss)(Z, C)
-            up, st = opt.update(g, st, Z)
-            return (optax.apply_updates(Z, up), st), loss
-
-        (Z, opt_state), losses = jax.lax.scan(
-            zs, (Z, opt_state), None, length=z_steps_per_iter)
-        err = (nmse(get_tensor(gen_apply(Z), C), T_ref) if track
-               else jnp.float32(0.0))
-        return (Z, opt_state), (losses[-1], err)
-
-    (Z, _), (costs, nmses) = jax.lax.scan(
-        outer, (Z, opt.init(Z)), None, length=outer_iters)
-    S = gen_apply(Z)
-    C = c_step(S).T
+    if n_restarts <= 1:
+        S, C, costs, nmses, Z, _ = single(key, jnp.bool_(True))
+    else:
+        keys = jax.random.split(key, n_restarts)
+        use_spa = jnp.arange(n_restarts) == 0
+        Ss, Cs, costss, nmsess, Zs, fits = jax.vmap(single)(keys, use_spa)
+        b = jnp.argmin(fits)
+        S, C, costs, nmses, Z = (Ss[b], Cs[b], costss[b], nmsess[b],
+                                 Zs[b])
     return RecoveryResult(S=S, C=C, T_hat=get_tensor(S, C),
                           nmses=nmses, costs=costs, aux={"Z": Z})
 

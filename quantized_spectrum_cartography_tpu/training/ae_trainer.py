@@ -33,7 +33,21 @@ class AETrainConfig:
     steps: int = 10000
     activation: str = "selu"
     onebit_input: bool = False   # SLFDataset1bit-style +-1 inputs
-    scale: float = 50.0          # same O(1) scaling trick as the GAN
+    # The decoder head is a sigmoid (models/ae.py:89, matching the
+    # reference AutoencoderSelu, networks/ae.py:100), so targets MUST live
+    # in [0, 1).  Simulator SLFs are Frobenius-normalized with peak ~0.26
+    # (p99 0.31); x2.5 fills the sigmoid range the way the reference's
+    # fro-normalized .pt training maps did.  (A larger scale makes peaks
+    # unrepresentable and the model saturates — the round-2 checkpoint was
+    # trained at 50.0 and reproduced peaks at 0.08x, the direct cause of
+    # the round-2 miss-detection plateau.)
+    scale: float = 2.5
+    # Peak events (the detection protocol, joint_opt_ae.m:514-544) live on
+    # a handful of pixels per map; unweighted MSE underweights them and
+    # the completer reproduces peaks at ~0.73x (tools/ae_peak_diag.py).
+    # Loss weight 1 + peak_weight * target/max(target) concentrates
+    # capacity on the peak plateau without changing the optimum.
+    peak_weight: float = 4.0
     # 'slf'   — single spatial loss fields (SLFDataset semantics; the
     #           Nasdac per-emitter completion input)
     # 'band'  — single frequency bands of full rank-R maps (mixtures), the
@@ -86,7 +100,9 @@ def train_ae(
         out, mut = model.apply(
             {"params": params, "batch_stats": batch_stats}, inp, train=True,
             mutable=["batch_stats"])
-        return jnp.mean(jnp.square(out - target)), mut["batch_stats"]
+        peak = jnp.max(target, axis=(1, 2, 3), keepdims=True)
+        w = 1.0 + cfg.peak_weight * target / jnp.maximum(peak, 1e-12)
+        return jnp.mean(w * jnp.square(out - target)), mut["batch_stats"]
 
     @jax.jit
     def step(params, batch_stats, opt_state, k):
