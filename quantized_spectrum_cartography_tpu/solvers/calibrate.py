@@ -39,13 +39,17 @@ def recalibrate_gain(
     gamma_lo: float = 1e-2,
     gamma_hi: float = 1e2,
     refine_iters: int = 20,
+    linear: bool = False,
 ):
-    """Returns (gamma_star, T_hat * gamma_star)."""
+    """Returns (gamma_star, T_hat * gamma_star).  `linear=True` scores the
+    gain against a linear-domain quantizer (x = gamma*T_hat, e.g. the
+    256-bin uniform table, qmc/utils.py:17-27) instead of the log link."""
     bb = jnp.asarray(bin_boundaries, jnp.float32)
     W, U = gather_bin_bounds(Y, bb)
 
     def nll_of_gamma(g):
-        x = jnp.log(g * T_hat + offset)
+        x = (g * T_hat if linear
+             else jnp.log(g * T_hat + offset))
         return masked_nll(log_prob_probit_bounds(W, U, x, sigma), mask)
 
     log_g = jnp.linspace(jnp.log(gamma_lo), jnp.log(gamma_hi), num_grid)

@@ -53,6 +53,15 @@ class VAETrainConfig:
                                   # late-training noise — the round-2
                                   # residual seed variance mechanism —
                                   # and are returned as variables_ema.
+    peak_weight: float = 0.0      # reconstruction weight 1 + pw*target
+                                  # (targets are peak-normalized, so the
+                                  # peak pixel gets (1+pw)x weight).  The
+                                  # decoder's peak-amplitude ceiling
+                                  # (dense z-fit ratio ~0.71 unweighted,
+                                  # tools/vae_peak_diag.py) bounds every
+                                  # inversion-based recovery's detection
+                                  # fidelity; plain BCE underweights the
+                                  # handful of peak pixels.  0 disables.
 
 
 def train_vae(
@@ -82,6 +91,18 @@ def train_vae(
             {"params": params, "batch_stats": batch_stats}, inp, k,
             train=True, mutable=["batch_stats"])
         _, bce, kl = model.loss(recon, target, mean, logstd)
+        if cfg.peak_weight > 0.0:
+            # weighted BCE replaces the data term in the objective; the
+            # logged `bce` stays unweighted for cross-run comparability
+            eps = 1e-7
+            r = jnp.clip(recon, eps, 1.0 - eps)
+            w = 1.0 + cfg.peak_weight * target
+            bce_obj = -jnp.sum(
+                w * (target * jnp.log(r)
+                     + (1.0 - target) * jnp.log(1.0 - r))
+            ) / recon.shape[0]
+        else:
+            bce_obj = bce
         if cfg.free_bits > 0.0:
             # free-bits objective: per-dim batch-mean KL floored at the
             # free-bits level, so near-collapsed dims get zero gradient
@@ -92,7 +113,7 @@ def train_vae(
             kl_obj = jnp.sum(jnp.maximum(kl_dims, cfg.free_bits))
         else:
             kl_obj = kl
-        total = bce + kl_w * cfg.beta * kl_obj
+        total = bce_obj + kl_w * cfg.beta * kl_obj
         return total, (mut["batch_stats"], bce, kl)
 
     @jax.jit

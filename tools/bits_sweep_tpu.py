@@ -47,10 +47,21 @@ from quantized_spectrum_cartography_tpu.ops.metrics import nmse, nmse_log
 from quantized_spectrum_cartography_tpu.ops.quantizer import (
     quantize, quantize_log)
 from quantized_spectrum_cartography_tpu.physics import generate_map_batch
+from quantized_spectrum_cartography_tpu.solvers import recalibrate_gain
 
-BATCH, R, ITERS, LR = 64, 2, 300, 0.02
+BATCH, R, ITERS, LR = 64, 2, 2000, 0.02
+# cosine-decayed Adam + light S/C Frobenius regularization: the ordinal
+# likelihood saturates in its outer bins, so unobserved-entry overshoot
+# is only pulled back by rank + regularization — at 300 flat-LR steps the
+# first sweep overshot to NMSE ~9 while NMSE_LOG sat at 0.67
+SCHED = None  # built per-solver below (optax.cosine_decay_schedule)
 FRACTION = 0.1
-METRIC_OFFSET = B.LOG_OFFSET_4
+# Metric offset: NOT the 4-bin table's 1e-10 — with that offset the
+# log-domain metric's dynamic range runs to log(1e-10) = -23 and the
+# score is dominated by how each table's bottom bin constrains the
+# near-zero tail (~uninformative at every depth), not by map fidelity.
+# The 7-adjusted table's 2.27e-5 sits at the data's meaningful floor.
+METRIC_OFFSET = B.LOG_OFFSET_7_ADJUSTED
 
 CONFIGS = [
     # (label, bits, boundaries, offset(None=linear), sigma)
@@ -76,17 +87,31 @@ mask = jax.random.bernoulli(
 log(f"generated {BATCH} maps")
 
 
-def solver_body(Wb, Ub, mask, T_true, sigma, offset, linear):
+def solver_body(Wb, Ub, mask, T_true, Td, sigma, offset, linear):
     """Batched ordinal MLE on pre-gathered (W, U) bounds.  `linear` is a
-    Python bool (two programs); sigma/offset are traced scalars."""
+    Python bool (two programs); sigma/offset are traced scalars.
+
+    Warm start: WARM Adam steps of masked LS against the bin-midpoint
+    dequantization Td (qmc/quantization_model_log.py:43-51 semantics) —
+    a depth-independent convex-ish surrogate that lands the factors near
+    the right basin before the saturating ordinal NLL takes over (cold
+    NLL starts at 4+ bits converge to spurious flat-likelihood optima;
+    first-sweep NMSE_LOG 0.37 at 4-bit vs 0.20 at 3-bit)."""
     Bn, K, I, J = Wb.shape
-    opt = optax.adam(LR)
+    WARM = 400
+    # log-link gradients scale as 1/(T+offset): the 16-bin table's
+    # offset (2.4e-7) makes bottom-bin tail gradients ~100x the 7-bin
+    # table's, and they swamp Adam's shared S/C coordinates — clip the
+    # global norm so the informative mid-range terms keep steering
+    opt = optax.chain(
+        optax.clip_by_global_norm(10.0),
+        optax.adam(optax.cosine_decay_schedule(LR, ITERS, alpha=0.05)))
 
     def one_loss(S, C, Wb, Ub, m):
         Th = jnp.maximum(get_tensor(S, C), 0.0)
         x = Th if linear else jnp.log(Th + offset)
         return (masked_nll(log_prob_probit_bounds(Wb, Ub, x, sigma), m)
-                + 0.01 * safe_fro(C))
+                + 0.01 * safe_fro(C) + 0.01 * safe_fro(S))
 
     def loss(params):
         S, C = params
@@ -95,6 +120,28 @@ def solver_body(Wb, Ub, mask, T_true, sigma, offset, linear):
     S0 = 0.01 * jnp.abs(jax.random.normal(jax.random.PRNGKey(1),
                                           (Bn, R, I, J)))
     C0 = 0.01 * jnp.ones((Bn, R, K))
+
+    def warm_loss(params):
+        S, C = params
+        Th = jax.vmap(get_tensor)(S, C)
+        return jnp.sum(mask * jnp.square(Th - Td)) * 1e4
+
+    wopt = optax.adam(0.02)
+
+    def wstep(carry, i):
+        params, state = carry
+        l, g = jax.value_and_grad(warm_loss)(params)
+        up, state = wopt.update(g, state, params)
+        S, C = optax.apply_updates(params, up)
+        S, C = jax.lax.cond(
+            (i + 1) % 25 == 0,
+            lambda sc: (project_nonneg(project_rank(sc[0], 10)),
+                        project_nonneg(sc[1])),
+            lambda sc: sc, (S, C))
+        return ((S, C), state), l
+
+    (params, _), _ = jax.lax.scan(
+        wstep, ((S0, C0), wopt.init((S0, C0))), jnp.arange(WARM))
 
     def step(carry, i):
         params, state = carry
@@ -109,18 +156,16 @@ def solver_body(Wb, Ub, mask, T_true, sigma, offset, linear):
         return ((S, C), state), l
 
     (params, _), _ = jax.lax.scan(
-        step, ((S0, C0), opt.init((S0, C0))), jnp.arange(ITERS))
+        step, (params, opt.init(params)), jnp.arange(ITERS))
     S, C = params
     T_hat = jnp.maximum(jax.vmap(get_tensor)(S, C), 0.0)
-    return (jax.vmap(nmse)(T_hat, T_true),
-            jax.vmap(lambda a, b: nmse_log(a, b, METRIC_OFFSET))(
-                T_hat, T_true))
+    return T_hat
 
 
-solve_log = jax.jit(lambda Wb, Ub, m, Tt, sig, off: solver_body(
-    Wb, Ub, m, Tt, sig, off, False))
-solve_lin = jax.jit(lambda Wb, Ub, m, Tt, sig: solver_body(
-    Wb, Ub, m, Tt, sig, 0.0, True))
+solve_log = jax.jit(lambda Wb, Ub, m, Tt, Td, sig, off: solver_body(
+    Wb, Ub, m, Tt, Td, sig, off, False))
+solve_lin = jax.jit(lambda Wb, Ub, m, Tt, Td, sig: solver_body(
+    Wb, Ub, m, Tt, Td, sig, 0.0, True))
 
 
 @jax.jit
@@ -128,7 +173,7 @@ def solve_floor(mask, T_true):
     """Unquantized masked-LS low-rank fit — the floor the bit ladder
     approaches (identical optimizer/projection budget)."""
     Bn, K, I, J = T_true.shape
-    opt = optax.adam(LR)
+    opt = optax.adam(optax.cosine_decay_schedule(LR, ITERS, alpha=0.05))
 
     def loss(params):
         S, C = params
@@ -171,14 +216,28 @@ for label, bits, bb_t, offset, sigma in CONFIGS:
             T, keys)
     span = (int(jnp.min(Y)), int(jnp.max(Y)))
     Wb, Ub = jax.vmap(lambda y: gather_bin_bounds(y, bb))(Y)
+    # bin-midpoint dequantization for the warm start (clip the one-sided
+    # outer bins to the table edges; map back to linear for log tables)
+    mid = (jnp.clip(Wb, bb[0], bb[-1]) + jnp.clip(Ub, bb[0], bb[-1])) / 2
+    Td = mid if offset is None else jnp.maximum(jnp.exp(mid) - offset, 0.0)
     t1 = time.time()
     if offset is None:
-        e, el = solve_lin(Wb, Ub, mask, T, jnp.float32(sigma))
+        T_hat = solve_lin(Wb, Ub, mask, T, Td, jnp.float32(sigma))
     else:
-        e, el = solve_log(Wb, Ub, mask, T, jnp.float32(sigma),
+        T_hat = solve_log(Wb, Ub, mask, T, Td, jnp.float32(sigma),
                           jnp.float32(offset))
-    e = np.asarray(jax.device_get(e))
-    el = np.asarray(jax.device_get(el))
+    # per-map likelihood gain recalibration (solvers/calibrate.py): the
+    # ordinal likelihood's outer bins are one-sided, so the free-factor
+    # fit's global amplitude is weakly identified at low bit depths —
+    # gamma* = argmin_gamma masked-NLL restores it without ground truth
+    cal = jax.jit(jax.vmap(lambda th, y, m: recalibrate_gain(
+        th, y, bb, sigma, 0.0 if offset is None else offset, m,
+        linear=offset is None)[1]))
+    T_cal = cal(T_hat, Y, mask)
+    e = np.asarray(jax.vmap(nmse)(T_cal, T))
+    el = np.asarray(jax.vmap(
+        lambda a, b: nmse_log(a, b, METRIC_OFFSET))(T_cal, T))
+    e_raw = np.asarray(jax.vmap(nmse)(T_hat, T))
     dt = time.time() - t1
     results[label] = {
         "bits": bits, "num_bins": len(bb_t) - 1, "sigma": float(sigma),
@@ -186,12 +245,13 @@ for label, bits, bb_t, offset, sigma in CONFIGS:
         "bin_span_observed": span,
         "nmse_mean": round(float(e.mean()), 4),
         "nmse_median": round(float(np.median(e)), 4),
+        "nmse_raw_mean": round(float(e_raw.mean()), 4),
         "nmse_log_mean": round(float(el.mean()), 4),
         "nmse_log_median": round(float(np.median(el)), 4),
         "wall_s": round(dt, 1),
     }
-    log(f"{label}: NMSE {e.mean():.4f} NMSE_LOG {el.mean():.4f} "
-        f"(bins seen {span}, {dt:.0f}s)")
+    log(f"{label}: NMSE {e.mean():.4f} (raw {e_raw.mean():.4f}) "
+        f"NMSE_LOG {el.mean():.4f} (bins seen {span}, {dt:.0f}s)")
 
 e, el = solve_floor(mask, T)
 e = np.asarray(jax.device_get(e))
