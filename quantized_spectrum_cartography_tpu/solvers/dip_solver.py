@@ -89,12 +89,21 @@ def recover_dip_tensor(
     lr: float = 0.001,
     z_dim: int = 256,
     T_true: Optional[jnp.ndarray] = None,
+    holdout_frac: float = 0.05,
+    l2_c: float = 0.01,
 ):
     """Full-tensor 1-bit recovery with DIP spatial priors: each emitter's
     SLF is an untrained `DecoderDip` instance (fixed z_r, Adam on its
     weights), C a free nonnegative PSD factor — the DIP-prior counterpart
     of the free-S low-rank MLE (`backup/notebooks/onebit_lowrank.ipynb`
     cell 1 protocol), directly comparable on the fixture floor.
+
+    Early stopping: DIP overfits by construction (the decoder eventually
+    fits the dither noise; the returned iterate can be 2-3x worse in
+    NMSE than the best one passed on the way).  With `holdout_frac > 0`
+    a random fraction of observed entries is excluded from the fit and
+    scored every step; the returned factors are the best-validation
+    iterate — the standard ground-truth-free DIP stopping rule.
 
     Reference anchors: architecture `deep_prior/networks/dip.py:20-89`;
     the lost driver `qmc/dip.py` (empty file).
@@ -104,7 +113,15 @@ def recover_dip_tensor(
 
     R = num_emitters
     model = DecoderDip(z_dim=z_dim)
+    key, kh = jax.random.split(key)
     kz, kp, kc = jax.random.split(key, 3)
+    if holdout_frac > 0.0:
+        val_mask = jax.random.bernoulli(
+            kh, holdout_frac, T_obs.shape).astype(jnp.float32)
+        train_mask = 1.0 - val_mask
+    else:
+        val_mask = None
+        train_mask = None
     zs = jax.random.normal(kz, (R, 1, z_dim))
     init_keys = jax.random.split(kp, R)
     variables = jax.vmap(
@@ -128,24 +145,43 @@ def recover_dip_tensor(
     def loss_fn(params, C, batch_stats):
         S, bs = forward(params, batch_stats)
         T_hat = get_tensor(S, C)
-        return neg_likelihood_1bit(T_hat, T_obs, mean, std,
-                                   probit=True), bs
+        # the saturating 1-bit likelihood is monotone in a global gain
+        # once signs are confident — the same C-Frobenius penalty the
+        # low-rank fixture protocol uses (fixture_parity.py L2=0.01)
+        # pins the amplitude so late iterates don't drift
+        from quantized_spectrum_cartography_tpu.ops.lowrank import safe_fro
+        return (neg_likelihood_1bit(T_hat, T_obs, mean, std,
+                                    probit=True, mask=train_mask)
+                + l2_c * safe_fro(C)), bs
 
     opt = optax.adam(lr)
 
     def step(carry, _):
-        params, C, bs, st = carry
+        params, C, bs, st, best = carry
         (loss, bs), g = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, C, bs)
         u, st = opt.update(g, st, (params, C))
         params, C = optax.apply_updates((params, C), u)
         C = jnp.maximum(C, 0.0)                     # nonneg projection
-        err = (nmse_metric(get_tensor(forward(params, bs)[0], C), T_ref)
-               if track else jnp.float32(0.0))
-        return (params, C, bs, st), (loss, err)
+        S, _ = forward(params, bs)
+        T_hat = get_tensor(S, C)
+        err = (nmse_metric(T_hat, T_ref) if track else jnp.float32(0.0))
+        if val_mask is not None:
+            val = neg_likelihood_1bit(T_hat, T_obs, mean, std,
+                                      probit=True, mask=val_mask)
+            best_val, best_params, best_C = best
+            better = val < best_val
+            best = (jnp.where(better, val, best_val),
+                    jax.tree.map(lambda n, o: jnp.where(better, n, o),
+                                 params, best_params),
+                    jnp.where(better, C, best_C))
+        return (params, C, bs, st, best), (loss, err)
 
-    (params, C, batch_stats, _), (losses, nmses) = jax.lax.scan(
-        step, (params, C0, batch_stats, opt.init((params, C0))), None,
-        length=steps)
+    best0 = (jnp.float32(jnp.inf), params, C0)
+    (params, C, batch_stats, _, best), (losses, nmses) = jax.lax.scan(
+        step, (params, C0, batch_stats, opt.init((params, C0)), best0),
+        None, length=steps)
+    if val_mask is not None:
+        _, params, C = best
     S_hat, _ = forward(params, batch_stats)
     return S_hat, C, losses, nmses

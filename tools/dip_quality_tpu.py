@@ -45,7 +45,7 @@ for seed in range(SEEDS):
     T_obs = dither_probit(key, prob.T_true - MEAN, STD)
     S, C, losses, nm = recover_dip_tensor(
         jax.random.fold_in(key, 7), T_obs, mean=MEAN, std=STD,
-        num_emitters=R, steps=STEPS, T_true=prob.T_true)
+        num_emitters=R, steps=STEPS, T_true=prob.T_true, l2_c=0.03)
     final = float(nm[-1])
     best = float(np.min(np.asarray(nm)))
     nmses.append(final)
