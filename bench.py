@@ -65,15 +65,16 @@ def jax_maps_per_sec() -> float:
     # block_until_ready alone does not await remote execution; a host
     # transfer (device_get of a scalar) is the only reliable fence.
     float(jnp.sum(solve(T_obs, S0, C0).costs))
-    t0 = time.time()
-    reps = 3
+    reps = 5
+    rates = []
     acc = 0.0
     for _ in range(reps):
+        t0 = time.time()
         res = solve(T_obs, S0, C0)
         acc += float(jnp.sum(res.costs))     # forced completion fence
-    dt = (time.time() - t0) / reps
+        rates.append(BATCH / (time.time() - t0))
     assert acc == acc  # keep the fence live
-    return BATCH / dt
+    return float(np.mean(rates)), rates
 
 
 def torch_maps_per_sec() -> float:
@@ -141,7 +142,7 @@ def main():
         except (subprocess.TimeoutExpired, json.JSONDecodeError, OSError):
             pass
         # fall through to the XLA path in-process
-    jax_rate = jax_maps_per_sec()
+    jax_rate, rep_rates = jax_maps_per_sec()
     try:
         torch_rate = torch_maps_per_sec()
     except Exception:
@@ -152,6 +153,8 @@ def main():
                   f"{'pallas' if USE_FUSED else 'xla'} likelihood)",
         "value": round(jax_rate, 3),
         "unit": "maps/sec",
+        "rep_rates": [round(r, 1) for r in rep_rates],
+        "rep_spread": [round(min(rep_rates), 1), round(max(rep_rates), 1)],
         "vs_baseline": round(jax_rate / torch_rate, 2)
         if torch_rate == torch_rate else None,
     }

@@ -550,6 +550,9 @@ def standard_methods(
     dowjons_iters: int = 30,
     dowjons_restarts: int = 4,
     ae_input_apply: Optional[Callable] = None,
+    ae_latent_fns: Optional[Tuple[Callable, Callable]] = None,
+    dowjons_variant: str = "gan",
+    anchor_mu0: float = 0.3,
 ) -> Dict[str, HarnessFn]:
     """Method registry.  `gen_apply` (deep generative prior) enables
     DowJons; `ae_complete(mask, map) -> map` (a trained completion AE,
@@ -592,13 +595,14 @@ def standard_methods(
             from quantized_spectrum_cartography_tpu.solvers.nasdac import (
                 recover_nasdac)
             res = recover_nasdac(hp.T_obs, hp.Om, ae_complete,
-                                 num_emitters=hp.S_true.shape[0])
+                                 num_emitters=hp.S_true.shape[0],
+                                 anchor_mu0=anchor_mu0)
             return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
 
         methods["nasdac"] = nasdac_fn
 
     if gen_apply is not None:
-        def dowjons_fn(key, hp):
+        def dowjons_gan_fn(key, hp):
             from quantized_spectrum_cartography_tpu.solvers.completion import (
                 recover_dowjons_unquantized)
             # SPA-informed latent init (joint_opt_ae.m:301-317: the
@@ -615,17 +619,23 @@ def standard_methods(
                 hp.T_obs.shape[0], -1), R)
             S_init = S_flat.reshape(R, *hp.Om.shape)
             dense = ae_complete is not None
+            T_anchor = None
             if dense:
                 S_init = jnp.stack([ae_complete(W, S_init[r])
                                     for r in range(R)])
+                # low-rho completion-anchored C-step (solvers/nasdac.
+                # anchor_weight; weight 0 above 5% sampling)
+                T_anchor = jax.vmap(lambda band: ae_complete(W, band))(
+                    hp.T_obs)
             res = recover_dowjons_unquantized(
                 key, hp.T_obs, hp.Om, gen_apply,
                 num_emitters=R, z_dim=z_dim,
                 outer_iters=dowjons_iters, S_init=S_init,
-                n_restarts=dowjons_restarts, S_init_dense=dense)
+                n_restarts=dowjons_restarts, S_init_dense=dense,
+                T_anchor=T_anchor, anchor_mu0=anchor_mu0)
             return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
 
-        methods["dowjons"] = dowjons_fn
+        methods["dowjons_gan"] = dowjons_gan_fn
 
     if ae_input_apply is not None:
         def dowjons_ae_fn(key, hp):
@@ -638,6 +648,37 @@ def standard_methods(
             return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
 
         methods["dowjons_ae"] = dowjons_ae_fn
+
+    if ae_latent_fns is not None:
+        ae_encode, ae_decode = ae_latent_fns
+
+        def dowjons_ae_latent_fn(key, hp):
+            from quantized_spectrum_cartography_tpu.solvers.completion import (
+                recover_dowjons_ae_latent)
+            T_anchor = None
+            if ae_complete is not None:
+                W = hp.Om.astype(hp.T_obs.dtype)
+                T_anchor = jax.vmap(lambda band: ae_complete(W, band))(
+                    hp.T_obs)
+            res = recover_dowjons_ae_latent(
+                hp.T_obs, hp.Om, ae_encode, ae_decode,
+                num_emitters=hp.S_true.shape[0],
+                outer_iters=dowjons_iters, T_anchor=T_anchor,
+                anchor_mu0=anchor_mu0)
+            return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
+
+        methods["dowjons_ae_latent"] = dowjons_ae_latent_fn
+
+    # "dowjons" resolves to the requested variant.  Default 'ae_latent' —
+    # the reference's committed harness configuration (joint_opt_ae.m:29
+    # use_gan=false dispatches the S-step to nn_descent_ae.run_descent_ae,
+    # the latent descent through autoencoder.decoder); 'gan' is the
+    # use_gan=true path (here with the VAE prior).
+    variant_key = f"dowjons_{dowjons_variant}"
+    if variant_key in methods:
+        methods["dowjons"] = methods[variant_key]
+    elif "dowjons_gan" in methods:
+        methods["dowjons"] = methods["dowjons_gan"]
 
     return methods
 

@@ -37,15 +37,18 @@ def load_pretrained_methods(
         load_vae_prior)
     from quantized_spectrum_cartography_tpu.training import load_checkpoint
     from quantized_spectrum_cartography_tpu.training.ae_trainer import (
-        make_ae_completer)
+        make_ae_completer, make_ae_latent_fns)
 
     state = dict(load_checkpoint(ae_ckpt))
     scale = float(state.pop("scale"))
-    ae_complete = make_ae_completer(
-        Autoencoder(activation="selu"), state, scale)
+    ae_model = Autoencoder(activation="selu")
+    ae_complete = make_ae_completer(ae_model, state, scale)
+    ae_latent_fns = make_ae_latent_fns(ae_model, state, scale)
     gen, z_dim, _ = load_vae_prior(vae_ckpt)
     methods = standard_methods(gen_apply=gen, z_dim=z_dim,
-                               ae_complete=ae_complete, **standard_kwargs)
+                               ae_complete=ae_complete,
+                               ae_latent_fns=ae_latent_fns,
+                               **standard_kwargs)
     if only is not None:
         methods = {k: v for k, v in methods.items() if k in only}
     return methods

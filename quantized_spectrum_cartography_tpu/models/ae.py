@@ -68,11 +68,23 @@ class Encoder(nn.Module):
 
 
 class Decoder(nn.Module):
-    """Transpose-conv decoder [B, latent] -> [B,51,51,1]  (ae.py:68-125)."""
+    """Transpose-conv decoder [B, latent] -> [B,51,51,1]  (ae.py:68-125).
+
+    `head` selects the output nonlinearity:
+      'sigmoid'        — the reference head (networks/ae.py:100);
+      'softplus'       — non-saturating: peak-amplitude targets are not
+                         pinned by the sigmoid's comfortable range (the
+                         round-3 measured ~0.71x dense-z-fit peak ceiling
+                         of the sigmoid-head VAE decoder);
+      'scaled_sigmoid' — sigmoid * exp(learned log-gain): bounded shape,
+                         learned global amplitude.
+    Non-sigmoid heads require an MSE-family data term (outputs leave
+    [0, 1])."""
 
     activation: str = "selu"
     stages: Sequence[Tuple[int, int, int, int]] = _DEC_STAGES
     base_width: int = 16
+    head: str = "sigmoid"
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -86,7 +98,14 @@ class Decoder(nn.Module):
                              momentum=0.9, epsilon=1e-5)(x)
             x = act(x)
         x = conv_torch(1, 4, 1, 0)(x)
-        return nn.sigmoid(x)
+        if self.head == "sigmoid":
+            return nn.sigmoid(x)
+        if self.head == "softplus":
+            return nn.softplus(x)
+        if self.head == "scaled_sigmoid":
+            log_gain = self.param("log_gain", nn.initializers.zeros, ())
+            return nn.sigmoid(x) * jnp.exp(log_gain)
+        raise ValueError(f"unknown decoder head {self.head!r}")
 
 
 class Autoencoder(nn.Module):
@@ -112,11 +131,24 @@ class Autoencoder(nn.Module):
             self.bottleneck_down = nn.Dense(self.linear_bottleneck)
             self.bottleneck_up = nn.Dense(256)
 
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def encode(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """(mask || map) [B,51,51,2] -> latent code [B, latent].
+
+        The reference's `autoencoder.encoder(test_slf)` — the latent that
+        seeds the committed DowJons S-step (`nn_descent_ae.py:195-201`
+        model_ae returns it; `run_descent_ae` then optimizes it)."""
         h = self.encoder(x, train)
         if self.linear_bottleneck:
             h = self.bottleneck_up(nn.relu(self.bottleneck_down(h)))
+        return h
+
+    def decode(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """latent [B, latent] -> completed map [B,51,51,1] — the
+        reference's `autoencoder.decoder` (nn_descent_ae.py:293,300)."""
         return self.decoder(h, train)
+
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        return self.decode(self.encode(x, train), train)
 
 
 def AutoencoderLinear(bottleneck: int = 128) -> Autoencoder:

@@ -20,13 +20,17 @@ class VAE(nn.Module):
     latent_dim: int = 64
     activation: str = "leaky_relu"
     beta: float = 1.0      # beta=1 -> plain VAE; >1 -> betaVAE (vae.py:433)
+    head: str = "sigmoid"  # decoder output head (models/ae.Decoder.head);
+                           # non-sigmoid heads pair with an MSE data term
+    dec_width: int = 16    # decoder base width (channel multiplier)
 
     def setup(self):
         self.encoder = Encoder(activation=self.activation)
         self.mean_head = nn.Dense(self.latent_dim)       # vae.py:82
         self.logstd_head = nn.Dense(self.latent_dim)     # vae.py:83
         self.latent_up = nn.Dense(256)
-        self.decoder = Decoder(activation=self.activation)
+        self.decoder = Decoder(activation=self.activation, head=self.head,
+                               base_width=self.dec_width)
 
     def encode(self, x, train: bool = False):
         h = self.encoder(x, train)

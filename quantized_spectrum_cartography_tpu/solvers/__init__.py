@@ -18,8 +18,11 @@ from quantized_spectrum_cartography_tpu.solvers.priors import (  # noqa: F401
 )
 from quantized_spectrum_cartography_tpu.solvers.completion import (  # noqa: F401
     optimize_z,
+    recover_dowjons_ae,
+    recover_dowjons_ae_latent,
     recover_dowjons_unquantized,
     recover_masked_mse,
+    run_descent_ae,
 )
 from quantized_spectrum_cartography_tpu.solvers.nasdac import recover_nasdac  # noqa: F401
 from quantized_spectrum_cartography_tpu.solvers.vae_prior import (  # noqa: F401

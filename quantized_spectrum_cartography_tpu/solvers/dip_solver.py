@@ -169,19 +169,24 @@ def recover_dip_tensor(
         if val_mask is not None:
             val = neg_likelihood_1bit(T_hat, T_obs, mean, std,
                                       probit=True, mask=val_mask)
-            best_val, best_params, best_C = best
+            best_val, best_params, best_C, best_bs = best
             better = val < best_val
+            # batch_stats travel with the winning params so the restored
+            # iterate is self-consistent even if an eval-mode forward
+            # (use_running_average) is ever used downstream
             best = (jnp.where(better, val, best_val),
                     jax.tree.map(lambda n, o: jnp.where(better, n, o),
                                  params, best_params),
-                    jnp.where(better, C, best_C))
+                    jnp.where(better, C, best_C),
+                    jax.tree.map(lambda n, o: jnp.where(better, n, o),
+                                 bs, best_bs))
         return (params, C, bs, st, best), (loss, err)
 
-    best0 = (jnp.float32(jnp.inf), params, C0)
+    best0 = (jnp.float32(jnp.inf), params, C0, batch_stats)
     (params, C, batch_stats, _, best), (losses, nmses) = jax.lax.scan(
         step, (params, C0, batch_stats, opt.init((params, C0)), best0),
         None, length=steps)
     if val_mask is not None:
-        _, params, C = best
+        _, params, C, batch_stats = best
     S_hat, _ = forward(params, batch_stats)
     return S_hat, C, losses, nmses

@@ -21,15 +21,44 @@ from quantized_spectrum_cartography_tpu.ops.lowrank import get_tensor
 from quantized_spectrum_cartography_tpu.solvers.base import RecoveryResult
 
 
+def anchor_weight(
+    W: jnp.ndarray,
+    mu0: float = 0.3,
+    rho0: float = 0.05,
+) -> jnp.ndarray:
+    """Completion-anchor weight for the amplitude (C) fit, from the mask.
+
+    At very sparse sampling the observed [N_obs, R] NNLS design can carry
+    ~no energy from an emitter whose SLF support the samples missed; NNLS
+    then zeroes that emitter's PSD and every one of its peak events is
+    missed (the round-4 measured catastrophic low-rho mode: 18/50
+    examples at rho=1%, tools/dense_cfit_diag.py).  Anchoring the fit on
+    the per-band AE completion at UNOBSERVED entries reconditions the
+    design (rho=1% miss 0.369 -> 0.224); at rho >= 5% the unanchored fit
+    is already best (0.0205 vs 0.0295), so the weight decays linearly to
+    zero by rho0.  Traced (mask-derived), so one compiled program covers
+    the whole fraction axis."""
+    f_hat = jnp.mean(W)
+    return mu0 * jnp.clip(1.0 - f_hat / rho0, 0.0, 1.0)
+
+
 def recover_nasdac(
     T_obs: jnp.ndarray,
     Om: jnp.ndarray,
     ae_complete: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     num_emitters: int = 2,
     nnls_iters: int = 200,
+    anchor_mu0: float = 0.3,
+    polish_ridge: float = 0.0,
 ) -> RecoveryResult:
     """T_obs [K, I, J] sampled at per-location mask Om [I, J] (zeros
-    elsewhere); ae_complete(mask, slf) -> completed slf [I, J]."""
+    elsewhere); ae_complete(mask, slf) -> completed slf [I, J].
+
+    Upgrades over the reference's Nasdac (both disclosed in RESULTS.md):
+    C refit by NNLS on the completed SLFs (the reference keeps the SPA
+    pseudo-inverse C, joint_opt_ae.m:231-241), and the low-rho
+    completion-anchored C fit (`anchor_weight`; anchor_mu0=0 restores
+    the observed-entries-only fit)."""
     K, I, J = T_obs.shape
     R = num_emitters
     W = Om.astype(T_obs.dtype)
@@ -41,11 +70,30 @@ def recover_nasdac(
     # AE completion of each masked SLF estimate
     S_hat = jnp.stack([ae_complete(W, S0[r]) for r in range(R)])
 
-    # refit C by NNLS on the completed SLFs over observed entries
-    Wf = W.reshape(1, -1)
+    # refit C by NNLS on the completed SLFs: observed entries at weight 1
+    # + (below rho0 sampling) AE-completed entries at weight mu
+    mu = anchor_weight(W, anchor_mu0) if anchor_mu0 > 0.0 else 0.0
+    if anchor_mu0 > 0.0:
+        T_comp = jax.vmap(lambda band: ae_complete(W, band))(T_obs)
+        T_fit = T_obs * W[None] + T_comp * (1.0 - W[None])
+        Wf = jnp.sqrt(W[None] + mu * (1.0 - W[None])).reshape(1, -1)
+    else:
+        T_fit = T_obs * W[None]
+        Wf = W.reshape(1, -1)
     design = (S_hat.reshape(R, -1) * Wf).T                  # [IJ, R]
-    C_hat = nnls_rows(design, (T_obs * W[None]).reshape(K, -1),
+    C_hat = nnls_rows(design, T_fit.reshape(K, -1) * Wf,
                       iters=nnls_iters).T                    # [R, K]
+    if anchor_mu0 > 0.0 and polish_ridge > 0.0:
+        # observed-entry amplitude polish with a ridge toward the
+        # anchored C (see solvers/completion._polish_c_to_observed).
+        # Default OFF: measured at rho=1% the polish recovers SRE
+        # (2.77 -> 1.4 for DowJons) but trades back the detection win
+        # (miss 0.30 -> 0.44) — the anchored amplitudes ARE the
+        # detection-correct ones.
+        from quantized_spectrum_cartography_tpu.solvers.completion import (
+            _polish_c_to_observed)
+        C_hat = _polish_c_to_observed(S_hat, C_hat, T_obs, W[None],
+                                      ridge_rel=polish_ridge)
 
     T_hat = get_tensor(S_hat, C_hat)
     zero = jnp.zeros((1,), jnp.float32)

@@ -21,15 +21,22 @@ from quantized_spectrum_cartography_tpu.models import VAE
 DEFAULT_AMP = 0.26   # mean SLF peak of simulator maps; the VAE trains on
                      # peak-normalized targets (data/datasets.py)
 
+# decoder head stored in checkpoints as an int (Orbax round-trips arrays,
+# not strings); order must match models/ae.Decoder.head options
+HEAD_CODES = ("sigmoid", "softplus", "scaled_sigmoid")
+
 
 def make_vae_generator(
     variables,
     latent_dim: int = 64,
     beta: float = 0.5,
     amp: float = DEFAULT_AMP,
+    head: str = "sigmoid",
+    dec_width: int = 16,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Decoder as G: Z [N, latent] -> SLFs [N, I, J] at SLF amplitude."""
-    vae = VAE(latent_dim=latent_dim, beta=beta)
+    vae = VAE(latent_dim=latent_dim, beta=beta, head=head,
+              dec_width=dec_width)
 
     def gen(Z):
         out = vae.apply(variables, Z, train=False, method=VAE.decode)
@@ -69,5 +76,7 @@ def load_vae_prior(path: str) -> Tuple[Callable, int, dict]:
     latent = int(state.pop("latent_dim", 64))
     beta = float(state.pop("beta", 0.5))
     amp = float(state.pop("amp", DEFAULT_AMP))
-    gen = make_vae_generator(state, latent, beta, amp)
+    head = HEAD_CODES[int(state.pop("head_code", 0))]
+    dec_width = int(state.pop("dec_width", 16))
+    gen = make_vae_generator(state, latent, beta, amp, head, dec_width)
     return gen, latent, state

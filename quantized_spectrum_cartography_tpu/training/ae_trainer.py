@@ -141,6 +141,30 @@ def make_ae_completer(model: Autoencoder, variables, scale: float):
     return complete
 
 
+def make_ae_latent_fns(model: Autoencoder, variables, scale: float):
+    """(encode, decode) pure fns for the committed-reference DowJons
+    S-step (`joint_opt_ae.m:29` use_gan=false -> `nn_descent_ae.py:
+    run_descent_ae`, which Adam-descends the AE's LATENT code through
+    `autoencoder.decoder`, seeded by `model_ae`'s `encoder(test_slf)`).
+
+    encode: (mask [R,I,J] or [I,J], S [R,I,J] raw SLF amplitude) -> z
+    [R, latent]; decode: z -> S [R,I,J] raw amplitude (the training
+    `scale` convention is internal to both)."""
+
+    def encode(mask: jnp.ndarray, S: jnp.ndarray) -> jnp.ndarray:
+        m = jnp.broadcast_to(mask, S.shape)
+        inp = jnp.stack([m, S * m * scale], -1)
+        return model.apply(variables, inp, train=False,
+                           method=Autoencoder.encode)
+
+    def decode(z: jnp.ndarray) -> jnp.ndarray:
+        out = model.apply(variables, z, train=False,
+                          method=Autoencoder.decode)
+        return out[:, :, :, 0] / scale
+
+    return encode, decode
+
+
 def make_ae_input_fn(model: Autoencoder, variables, scale: float):
     """Raw batched apply on the network's OWN input layout — the variable
     `solvers.completion.run_descent_ae` optimizes (nn_descent_ae.py:106

@@ -62,6 +62,13 @@ class VAETrainConfig:
                                   # inversion-based recovery's detection
                                   # fidelity; plain BCE underweights the
                                   # handful of peak pixels.  0 disables.
+    head: str = "sigmoid"         # decoder output head (models/ae.Decoder)
+    dec_width: int = 16           # decoder channel-width multiplier base
+    recon: str = "bce"            # data term: 'bce' (reference, vae.py:
+                                  # 345-370; requires sigmoid head) or
+                                  # 'mse' (works with any head — the
+                                  # round-4 non-saturating-head fix for
+                                  # the peak-amplitude ceiling)
 
 
 def train_vae(
@@ -72,7 +79,8 @@ def train_vae(
     log_every: int = 200,
     log_fn=print,
 ) -> Tuple[Any, Dict[str, Any]]:
-    model = VAE(latent_dim=cfg.latent_dim, beta=cfg.beta)
+    model = VAE(latent_dim=cfg.latent_dim, beta=cfg.beta, head=cfg.head,
+                dec_width=cfg.dec_width)
     k0, key = jax.random.split(key)
     variables = model.init(k0, jnp.zeros((1, 51, 51, 2)),
                            jax.random.PRNGKey(0), train=True)
@@ -91,12 +99,19 @@ def train_vae(
             {"params": params, "batch_stats": batch_stats}, inp, k,
             train=True, mutable=["batch_stats"])
         _, bce, kl = model.loss(recon, target, mean, logstd)
-        if cfg.peak_weight > 0.0:
+        w = 1.0 + cfg.peak_weight * target
+        if cfg.recon == "mse":
+            # MSE data term — the only valid choice for non-sigmoid heads
+            # (outputs leave [0,1]); summed over pixels like the BCE so
+            # the KL balance stays in the same regime.  `bce` is still
+            # logged (clipped) for cross-run comparability.
+            bce_obj = jnp.sum(w * jnp.square(recon - target)) / \
+                recon.shape[0]
+        elif cfg.peak_weight > 0.0:
             # weighted BCE replaces the data term in the objective; the
             # logged `bce` stays unweighted for cross-run comparability
             eps = 1e-7
             r = jnp.clip(recon, eps, 1.0 - eps)
-            w = 1.0 + cfg.peak_weight * target
             bce_obj = -jnp.sum(
                 w * (target * jnp.log(r)
                      + (1.0 - target) * jnp.log(1.0 - r))
@@ -166,7 +181,8 @@ def heldout_elbo(
     """
     if key is None:
         key = jax.random.PRNGKey(987_654)
-    model = VAE(latent_dim=cfg.latent_dim, beta=cfg.beta)
+    model = VAE(latent_dim=cfg.latent_dim, beta=cfg.beta, head=cfg.head,
+                dec_width=cfg.dec_width)
     sampler = make_slf_sampler(physics)
     bcfg = SLFBatchConfig(batch_size=cfg.batch_size, normalize_peak=True)
 

@@ -38,8 +38,11 @@ def plot_recovery_panels(
     T_true = np.asarray(T_true)
     T_hat = np.asarray(T_hat)
     if log_offset is not None:
-        T_true = np.log(T_true + log_offset)
-        T_hat = np.log(T_hat + log_offset)
+        # negative estimates (free-factor solvers before projection) would
+        # make log() emit invalid-value RuntimeWarnings; clamp to the
+        # offset floor first — the log view's own minimum
+        T_true = np.log(np.maximum(T_true, 0.0) + log_offset)
+        T_hat = np.log(np.maximum(T_hat, 0.0) + log_offset)
     n = len(bands)
     fig, axes = plt.subplots(2, n, figsize=(3 * n, 6.2), squeeze=False)
     for j, k in enumerate(bands):

@@ -1,0 +1,60 @@
+"""Sweep the completion-anchor weight mu0: miss-prob vs SRE trade at
+rho=1% (and optionally other rhos).
+
+The anchor's total weight at mu0=0.3, rho=1% is ~600 completed entries
+vs 26 observed — the C fit (and the shared DowJons objective) is ~96%
+completion-driven, which fixes the catastrophic lost-emitter mode (miss
+0.47 -> 0.30) but inherits the completion's amplitude error (SRE 0.91 ->
+2.77).  This sweep finds whether a lighter anchor keeps the detection
+win at better SRE.
+
+Usage: python tools/anchor_mu_sweep_tpu.py [rho] [num]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+t0 = time.time()
+
+
+def log(*a):
+    print(f"[{time.time()-t0:6.1f}s]", *a, flush=True)
+
+
+log("backend:", jax.default_backend())
+
+from quantized_spectrum_cartography_tpu.baselines import (
+    BatchedHarness, condition_grid, load_pretrained_methods)
+from quantized_spectrum_cartography_tpu.config import PhysicsConfig
+
+RHO = float(sys.argv[1]) if len(sys.argv) > 1 else 0.01
+NUM = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+MUS = (0.05, 0.1, 0.2, 0.3)
+
+conds = condition_grid("fraction", (RHO,))
+results = {}
+for mu0 in MUS:
+    methods = load_pretrained_methods(
+        only=("dowjons_gan", "nasdac"), anchor_mu0=mu0)
+    h = BatchedHarness(methods, PhysicsConfig(), log_fn=None)
+    out = h.run(conds, num_examples=NUM, seed=0)
+    row = {}
+    for m in methods:
+        st = out[conds[0].label()][m]
+        row[m] = {"miss_prob": round(st["miss_prob"], 4),
+                  "sre": round(st["sre"], 4),
+                  "miss": st["miss_count"], "peaks": st["peak_count"]}
+        log(f"mu0={mu0} {m}: miss {st['miss_prob']:.4f} "
+            f"sre {st['sre']:.4f}")
+    results[str(mu0)] = row
+
+with open("/root/repo/ANCHOR_MU_SWEEP.json", "w") as f:
+    json.dump({"rho": RHO, "num_examples": NUM, "results": results},
+              f, indent=1)
+log("wrote ANCHOR_MU_SWEEP.json")

@@ -1,13 +1,22 @@
-"""DIP quality datapoint on the 1-bit fixture protocol.
+"""DIP quality on the 1-bit fixture protocol — 5 seeds x 3 restarts.
 
 The reference lost its DIP driver (`qmc/dip.py` empty, `qmc/dip.ipynb`
 stripped); `solvers/recover_dip_tensor` rebuilds the path (R untrained
 `DecoderDip` instances as spatial priors + free nonneg C).  This tool
-validates it is *capable*, not just present: full-tensor 1-bit recovery
-on `onebitdata1.mat` under the exact fixture-parity protocol
-(probit dither MEAN=0.0005 STD=0.008, 3 dither seeds — tools/
-fixture_parity.py), reported against the free-S low-rank solver's 0.79
-protocol floor (RESULTS.md).
+validates it is *capable*: full-tensor 1-bit recovery on
+`onebitdata1.mat` under the exact fixture-parity protocol (probit dither
+MEAN=0.0005 STD=0.008 — tools/fixture_parity.py), reported against the
+free-S low-rank solver's 0.79 protocol floor (RESULTS.md).
+
+Protocol hardening (round 4):
+- 5 dither seeds x 3 solver restarts; per seed the restart with the best
+  final training objective is selected (no ground truth in the rule),
+  matching the multi-restart selection every other nonconvex solver in
+  this framework uses;
+- the reported NMSE is computed from the RETURNED factors (the
+  best-validation early-stopped iterate), not from the trajectory's last
+  entry — the two differ because early stopping restores an earlier
+  iterate.
 """
 
 import json
@@ -17,6 +26,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 t0 = time.time()
@@ -29,40 +39,65 @@ def log(*a):
 log("backend:", jax.default_backend())
 
 from quantized_spectrum_cartography_tpu.data import load_onebit_fixture
+from quantized_spectrum_cartography_tpu.ops.lowrank import get_tensor
+from quantized_spectrum_cartography_tpu.ops.metrics import nmse
 from quantized_spectrum_cartography_tpu.ops.quantizer import dither_probit
 from quantized_spectrum_cartography_tpu.solvers import recover_dip_tensor
 
-SEEDS = 3
+SEEDS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+RESTARTS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 MEAN, STD = 0.0005, 0.008
 STEPS = 1000                       # matches the low-rank 50x(10+10) budget
 
 prob = load_onebit_fixture()
 R = prob.S_true.shape[0]
 
-nmses = []
+per_seed = []
 for seed in range(SEEDS):
     key = jax.random.PRNGKey(seed)
     T_obs = dither_probit(key, prob.T_true - MEAN, STD)
-    S, C, losses, nm = recover_dip_tensor(
-        jax.random.fold_in(key, 7), T_obs, mean=MEAN, std=STD,
-        num_emitters=R, steps=STEPS, T_true=prob.T_true, l2_c=0.03)
-    final = float(nm[-1])
-    best = float(np.min(np.asarray(nm)))
-    nmses.append(final)
-    log(f"seed {seed}: final NMSE {final:.4f} (best-iter {best:.4f}, "
-        f"loss {float(losses[0]):.1f} -> {float(losses[-1]):.1f})")
+    cands = []
+    for rs in range(RESTARTS):
+        S, C, losses, nm = recover_dip_tensor(
+            jax.random.fold_in(key, 7 + 13 * rs), T_obs, mean=MEAN,
+            std=STD, num_emitters=R, steps=STEPS, T_true=prob.T_true,
+            l2_c=0.03)
+        returned = float(nmse(get_tensor(S, C), prob.T_true))
+        fit = float(losses[-1])
+        cands.append({"restart": rs, "nmse_returned": returned,
+                      "final_fit": fit,
+                      "traj_last": float(nm[-1]),
+                      "traj_best": float(np.min(np.asarray(nm)))})
+        log(f"seed {seed} restart {rs}: returned NMSE {returned:.4f} "
+            f"(traj last {cands[-1]['traj_last']:.4f} best "
+            f"{cands[-1]['traj_best']:.4f}, fit {fit:.1f})")
+    pick = min(cands, key=lambda c: c["final_fit"])
+    per_seed.append({"seed": seed, "picked_restart": pick["restart"],
+                     "nmse": pick["nmse_returned"], "restarts": cands})
+    log(f"seed {seed}: picked restart {pick['restart']} "
+        f"NMSE {pick['nmse_returned']:.4f}")
 
-mean_nmse = float(np.mean(nmses))
+vals = np.asarray([s["nmse"] for s in per_seed])
 out = {
     "protocol": "onebitdata1.mat, probit dither mean=0.0005 std=0.008, "
-                f"{SEEDS} seeds, {STEPS} Adam steps (fixture_parity.py "
-                "protocol)",
-    "dip_nmse_per_seed": [round(v, 4) for v in nmses],
-    "dip_nmse_mean": round(mean_nmse, 4),
+                f"{SEEDS} seeds x {RESTARTS} restarts, {STEPS} Adam "
+                "steps, best-final-fit restart per seed, NMSE from "
+                "returned (early-stopped) factors",
+    "config": {"steps": STEPS, "lr": 0.001, "z_dim": 256,
+               "holdout_frac": 0.05, "l2_c": 0.03,
+               "seeds": SEEDS, "restarts": RESTARTS},
+    "per_seed": per_seed,
+    "dip_nmse_per_seed": [round(float(v), 4) for v in vals],
+    "dip_nmse_mean": round(float(vals.mean()), 4),
+    "dip_nmse_median": round(float(np.median(vals)), 4),
+    "dip_nmse_spread": [round(float(vals.min()), 4),
+                        round(float(vals.max()), 4)],
     "lowrank_floor": 0.79,
     "reference_anchor": "deep_prior/networks/dip.py:20-89 (architecture); "
-                        "qmc/dip.py (lost driver)",
+                        "qmc/dip.py (lost driver); protocol "
+                        "backup/notebooks/onebit_lowrank.ipynb",
 }
 with open("/root/repo/DIP_QUALITY.json", "w") as f:
     json.dump(out, f, indent=1)
-log("wrote DIP_QUALITY.json:", json.dumps(out))
+log("wrote DIP_QUALITY.json: mean", out["dip_nmse_mean"], "median",
+    out["dip_nmse_median"], "spread", out["dip_nmse_spread"])

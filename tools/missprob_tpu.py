@@ -45,6 +45,25 @@ PUBLISHED = {
 RHOS = (0.01, 0.025, 0.05, 0.075, 0.10)
 NUM_EXAMPLES = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 
+# pinned solver configuration (every knob that shapes the curves); the
+# same dict is recorded in MISSPROB.json so the run is reproducible from
+# the artifact alone
+CONFIG = {
+    "ae_checkpoint": "checkpoints/ae_completion/final (scale 2.5, "
+                     "peak-weighted MSE retrain, AE_RETRAIN.json)",
+    "vae_checkpoint": "checkpoints/vae_best/final",
+    "dowjons_variant": "gan (use_gan=true path with the VAE prior; "
+                       "anchored objective)",
+    "dowjons_iters": 30,
+    "dowjons_restarts": 4,
+    "dowjons_z_steps_per_iter": 20,
+    "anchor_mu0": 0.3,
+    "anchor_schedule": "mu = mu0 * clip(1 - f/0.05, 0, 1) "
+                       "(solvers/nasdac.anchor_weight)",
+    "c_polish_ridge_rel": 0.1,
+    "nnls_iters": 100,
+    "seed": 0,
+}
 methods = load_pretrained_methods(only=("deepcomp", "nasdac", "dowjons"))
 log("methods:", list(methods))
 
@@ -77,6 +96,7 @@ for m in methods:
 with open("/root/repo/MISSPROB.json", "w") as f:
     json.dump({
         "protocol": "joint_opt_ae.m:514-544 events, :549-554 denominators",
+        "config": CONFIG,
         "rhos": list(RHOS),
         "num_examples": NUM_EXAMPLES,
         "published": PUBLISHED,

@@ -1,0 +1,152 @@
+"""Break the VAE decoder's peak-amplitude ceiling ARCHITECTURALLY.
+
+Round 3 measured the canonical sigmoid-head VAE decoder rendering SLF
+peaks at ~0.71x truth under a dense z-fit (tools/vae_peak_diag.py), and
+loss reweighting alone was a no-op (VAE_PEAKWEIGHT.json: 0.713 -> 0.724).
+This experiment changes the MODEL: non-saturating decoder heads
+(softplus; sigmoid * learned gain) trained with a peak-weighted MSE data
+term, plus a wider-decoder variant.  For each candidate it reports
+
+- dense z-fit peak ratio (median hat/true at the true peak pixel over 16
+  held-out SLFs, 600 Adam steps, no mask — pure decoder expressivity),
+- prior-completion NMSE_S (optimization.ipynb cell 17/19 protocol at
+  f=0.2 — guard that peak sharpness does not cost prior quality).
+
+Usage: python tools/vae_head_tpu.py [steps] [candidates...]
+Writes VAE_HEADS.json; checkpoints each candidate under
+checkpoints/vae_heads/<name>.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+t0 = time.time()
+
+
+def log(*a):
+    print(f"[{time.time()-t0:6.1f}s]", *a, flush=True)
+
+
+log("backend:", jax.default_backend())
+
+from quantized_spectrum_cartography_tpu.config import PhysicsConfig
+from quantized_spectrum_cartography_tpu.data.datasets import make_slf_sampler
+from quantized_spectrum_cartography_tpu.models import VAE
+from quantized_spectrum_cartography_tpu.ops.metrics import nmse
+from quantized_spectrum_cartography_tpu.solvers import (
+    optimize_z, recover_masked_mse)
+from quantized_spectrum_cartography_tpu.training import (
+    VAETrainConfig, train_vae)
+from quantized_spectrum_cartography_tpu.training.checkpoints import (
+    save_checkpoint)
+from quantized_spectrum_cartography_tpu.solvers.vae_prior import HEAD_CODES
+
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+ONLY = set(sys.argv[2:])
+
+LATENT = 128
+pcfg = PhysicsConfig()
+sampler = make_slf_sampler(pcfg)
+eval_slfs = np.asarray(sampler(jax.random.PRNGKey(999), 16))
+
+# (name, head, recon, beta, peak_weight, dec_width)
+# MSE data term is ~50-100x smaller than the BCE sum at convergence, so
+# beta scales down accordingly to keep comparable KL pressure.
+CANDIDATES = [
+    ("sigmoid_bce_ctrl", "sigmoid", "bce", 0.5, 0.0, 16),
+    ("softplus_mse", "softplus", "mse", 0.01, 4.0, 16),
+    ("softplus_mse_b003", "softplus", "mse", 0.003, 4.0, 16),
+    ("scaled_sigmoid_mse", "scaled_sigmoid", "mse", 0.01, 4.0, 16),
+    ("softplus_mse_wide", "softplus", "mse", 0.01, 4.0, 32),
+    ("softplus_mse_wide_pw8", "softplus", "mse", 0.01, 8.0, 32),
+    ("softplus_mse_wide_b003", "softplus", "mse", 0.003, 4.0, 32),
+]
+
+
+def evaluate(name, cfg, vvars):
+    vae = VAE(latent_dim=LATENT, beta=cfg.beta, head=cfg.head,
+              dec_width=cfg.dec_width)
+
+    def gen(Z):
+        out = vae.apply(vvars, Z, train=False, method=VAE.decode)
+        return out[..., 0] * 0.26
+
+    # dense z-fit peak ratio
+    targets = jnp.asarray(eval_slfs)
+    fit = jax.jit(jax.vmap(lambda t, k: optimize_z(
+        k, gen, t[None], adam_steps=600, z_dim=LATENT)[0][0]))
+    outs = np.asarray(fit(targets,
+                          jax.random.split(jax.random.PRNGKey(1), 16)))
+    ratios, rel = [], []
+    for b in range(16):
+        i, j = np.unravel_index(np.argmax(eval_slfs[b]),
+                                eval_slfs[b].shape)
+        ratios.append(outs[b, i, j] / eval_slfs[b][i, j])
+        rel.append(float(np.mean((outs[b] - eval_slfs[b]) ** 2)
+                         / np.mean(eval_slfs[b] ** 2)))
+    ratios = np.asarray(ratios)
+
+    # completion probe at f=0.2
+    errs = []
+    for i in range(4):
+        S_true = jnp.asarray(eval_slfs[i])
+        mask = jax.random.bernoulli(jax.random.PRNGKey(50 + i), 0.2,
+                                    S_true.shape).astype(jnp.float32)
+        S_hat, _, _ = recover_masked_mse(
+            jax.random.PRNGKey(60 + i), gen, mask, S_true * mask,
+            z_dim=LATENT, num_global=300, num_local=200, adam_steps=400)
+        errs.append(float(nmse(S_hat, S_true)))
+    return {
+        "peak_ratio_median": float(np.median(ratios)),
+        "peak_ratio_p10": float(np.percentile(ratios, 10)),
+        "peak_ratio_p90": float(np.percentile(ratios, 90)),
+        "zfit_rel_mse_median": float(np.median(rel)),
+        "completion_nmse": float(np.mean(errs)),
+    }
+
+
+import os
+results = {}
+if os.path.exists("/root/repo/VAE_HEADS.json"):
+    with open("/root/repo/VAE_HEADS.json") as f:
+        results = json.load(f)
+for name, head, recon, beta, pw, width in CANDIDATES:
+    if ONLY and name not in ONLY:
+        continue
+    cfg = VAETrainConfig(steps=STEPS, latent_dim=LATENT, batch_size=64,
+                         beta=beta, free_bits=0.1, ema_decay=0.999,
+                         head=head, recon=recon, peak_weight=pw,
+                         dec_width=width)
+    vvars, vdiag = train_vae(
+        jax.random.PRNGKey(7), cfg, log_every=max(STEPS // 4, 1),
+        log_fn=lambda m, n=name: log(f"{n} {m}"))
+    evars = vdiag["variables_ema"]
+    res = evaluate(name, cfg, evars)
+    res.update(head=head, recon=recon, beta=beta, peak_weight=pw,
+               dec_width=width, steps=STEPS)
+    key = name
+    if key in results and results[key].get("steps") != STEPS:
+        key = f"{name}@{STEPS}"
+    results[key] = res
+    log(f"{name}: peak ratio {res['peak_ratio_median']:.3f} "
+        f"[{res['peak_ratio_p10']:.3f},{res['peak_ratio_p90']:.3f}] "
+        f"relMSE {res['zfit_rel_mse_median']:.4f} "
+        f"completion {res['completion_nmse']:.4f}")
+    save_checkpoint(f"/root/repo/checkpoints/vae_heads/{name}",
+                    {**evars, "latent_dim": jnp.int32(LATENT),
+                     "beta": jnp.float32(beta),
+                     "head_code": jnp.int32(HEAD_CODES.index(head)),
+                     "dec_width": jnp.int32(width),
+                     "amp": jnp.float32(0.26)})
+    with open("/root/repo/VAE_HEADS.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+log("DONE", json.dumps({k: round(v["peak_ratio_median"], 3)
+                        for k, v in results.items()}))
