@@ -553,6 +553,8 @@ def standard_methods(
     ae_latent_fns: Optional[Tuple[Callable, Callable]] = None,
     dowjons_variant: str = "gan",
     anchor_mu0: float = 0.3,
+    peak_refine: int = 2,
+    backstop_frac: float = 0.5,
 ) -> Dict[str, HarnessFn]:
     """Method registry.  `gen_apply` (deep generative prior) enables
     DowJons; `ae_complete(mask, map) -> map` (a trained completion AE,
@@ -591,13 +593,38 @@ def standard_methods(
 
         methods["deepcomp"] = deepcomp_fn
 
-        def nasdac_fn(key, hp):
+        def _nasdac_solve(hp):
+            # Completion-witnessed anchor selection: solve plain AND
+            # anchored (flat weight, any sampling level); keep the plain
+            # solve unless it extinguishes a completion-witnessed peak
+            # (solvers/nasdac.lost_peak_flag — the measured catastrophic
+            # mode at every rho).  XLA CSEs the shared SPA+completion
+            # subgraphs, so the marginal cost is one extra NNLS.  The
+            # refined T_hat is also the DowJons init safeguard below.
             from quantized_spectrum_cartography_tpu.solvers.nasdac import (
-                recover_nasdac)
-            res = recover_nasdac(hp.T_obs, hp.Om, ae_complete,
-                                 num_emitters=hp.S_true.shape[0],
-                                 anchor_mu0=anchor_mu0)
-            return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
+                recover_nasdac, witnessed_swap_flag)
+            R = hp.S_true.shape[0]
+            W = hp.Om.astype(hp.T_obs.dtype)
+            plain = recover_nasdac(hp.T_obs, hp.Om, ae_complete,
+                                   num_emitters=R, anchor_mu0=0.0)
+            anch = recover_nasdac(hp.T_obs, hp.Om, ae_complete,
+                                  num_emitters=R, anchor_mu0=anchor_mu0,
+                                  anchor_rho0=1.0)
+            T_comp = jax.vmap(lambda band: ae_complete(W, band))(hp.T_obs)
+            flag = witnessed_swap_flag(plain.T_hat, anch.T_hat, T_comp,
+                                       hp.T_obs, W, R + 2)
+            pick = lambda a, b: jnp.where(flag, a, b)
+            T_hat = pick(anch.T_hat, plain.T_hat)
+            if peak_refine:
+                from quantized_spectrum_cartography_tpu.solvers.completion \
+                    import residual_peak_refine
+                T_hat = residual_peak_refine(T_hat, hp.T_obs, W,
+                                             num_patches=peak_refine)
+            return T_hat, pick(anch.S, plain.S), pick(anch.C, plain.C)
+
+        def nasdac_fn(key, hp):
+            T_hat, S, C = _nasdac_solve(hp)
+            return {"T_hat": T_hat, "S_hat": S, "C_hat": C}
 
         methods["nasdac"] = nasdac_fn
 
@@ -619,21 +646,37 @@ def standard_methods(
                 hp.T_obs.shape[0], -1), R)
             S_init = S_flat.reshape(R, *hp.Om.shape)
             dense = ae_complete is not None
-            T_anchor = None
             if dense:
                 S_init = jnp.stack([ae_complete(W, S_init[r])
                                     for r in range(R)])
-                # low-rho completion-anchored C-step (solvers/nasdac.
-                # anchor_weight; weight 0 above 5% sampling)
-                T_anchor = jax.vmap(lambda band: ae_complete(W, band))(
-                    hp.T_obs)
-            res = recover_dowjons_unquantized(
+            plain = recover_dowjons_unquantized(
                 key, hp.T_obs, hp.Om, gen_apply,
                 num_emitters=R, z_dim=z_dim,
                 outer_iters=dowjons_iters, S_init=S_init,
-                n_restarts=dowjons_restarts, S_init_dense=dense,
-                T_anchor=T_anchor, anchor_mu0=anchor_mu0)
-            return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
+                n_restarts=dowjons_restarts, S_init_dense=dense)
+            if not dense:
+                return {"T_hat": plain.T_hat, "S_hat": plain.S,
+                        "C_hat": plain.C}
+            # No-extinguish backstop (pointwise): DowJons is a refinement
+            # of its Nasdac-stage init (the reference seeds the joint
+            # stage from model_ae, joint_opt_ae.m:301-317).  The
+            # nonconvex inversion's one catastrophic failure mode is
+            # rendering ~zero where the init carries an emitter (the
+            # measured lost-emitter miss tail at every rho); so wherever
+            # the joint estimate falls below `backstop_frac` of the
+            # init-stage estimate, the init's value is kept.  Pointwise,
+            # ground-truth-free, and inert where the joint fit carries
+            # the signal (measured example-level swap rules either
+            # under- or over-fired depending on sampling level).
+            T_nas, _, _ = _nasdac_solve(hp)
+            T_hat = jnp.where(plain.T_hat < backstop_frac * T_nas,
+                              T_nas, plain.T_hat)
+            if peak_refine:
+                from quantized_spectrum_cartography_tpu.solvers.completion \
+                    import residual_peak_refine
+                T_hat = residual_peak_refine(T_hat, hp.T_obs, W,
+                                             num_patches=peak_refine)
+            return {"T_hat": T_hat, "S_hat": plain.S, "C_hat": plain.C}
 
         methods["dowjons_gan"] = dowjons_gan_fn
 
@@ -655,17 +698,24 @@ def standard_methods(
         def dowjons_ae_latent_fn(key, hp):
             from quantized_spectrum_cartography_tpu.solvers.completion import (
                 recover_dowjons_ae_latent)
-            T_anchor = None
-            if ae_complete is not None:
-                W = hp.Om.astype(hp.T_obs.dtype)
-                T_anchor = jax.vmap(lambda band: ae_complete(W, band))(
-                    hp.T_obs)
-            res = recover_dowjons_ae_latent(
+            R = hp.S_true.shape[0]
+            plain = recover_dowjons_ae_latent(
                 hp.T_obs, hp.Om, ae_encode, ae_decode,
-                num_emitters=hp.S_true.shape[0],
-                outer_iters=dowjons_iters, T_anchor=T_anchor,
-                anchor_mu0=anchor_mu0)
-            return {"T_hat": res.T_hat, "S_hat": res.S, "C_hat": res.C}
+                num_emitters=R, outer_iters=dowjons_iters)
+            if ae_complete is None:
+                return {"T_hat": plain.T_hat, "S_hat": plain.S,
+                        "C_hat": plain.C}
+            # no-extinguish backstop + residual refine (see dowjons_gan_fn)
+            W = hp.Om.astype(hp.T_obs.dtype)
+            T_nas, _, _ = _nasdac_solve(hp)
+            T_hat = jnp.where(plain.T_hat < backstop_frac * T_nas,
+                              T_nas, plain.T_hat)
+            if peak_refine:
+                from quantized_spectrum_cartography_tpu.solvers.completion \
+                    import residual_peak_refine
+                T_hat = residual_peak_refine(T_hat, hp.T_obs, W,
+                                             num_patches=peak_refine)
+            return {"T_hat": T_hat, "S_hat": plain.S, "C_hat": plain.C}
 
         methods["dowjons_ae_latent"] = dowjons_ae_latent_fn
 

@@ -18,7 +18,7 @@ from typing import Dict, Optional
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 AE_CKPT = os.path.join(REPO_ROOT, "checkpoints", "ae_completion", "final")
-VAE_CKPT = os.path.join(REPO_ROOT, "checkpoints", "vae_best", "final")
+VAE_CKPT = os.path.join(REPO_ROOT, "checkpoints", "vae_peak_z256")
 
 
 def load_pretrained_methods(

@@ -238,6 +238,7 @@ def _cmd_conditions(args):
         from quantized_spectrum_cartography_tpu.training.ae_trainer import (
             make_ae_completer,
             make_ae_input_fn,
+            make_ae_latent_fns,
         )
 
         state = dict(load_checkpoint(args.ae_checkpoint))
@@ -247,6 +248,7 @@ def _cmd_conditions(args):
         ae = Autoencoder(activation=args.ae_activation)
         kwargs["ae_complete"] = make_ae_completer(ae, state, scale)
         kwargs["ae_input_apply"] = make_ae_input_fn(ae, state, scale)
+        kwargs["ae_latent_fns"] = make_ae_latent_fns(ae, state, scale)
     if args.vae_checkpoint:
         from quantized_spectrum_cartography_tpu.solvers.vae_prior import (
             load_vae_prior,

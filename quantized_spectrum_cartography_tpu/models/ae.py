@@ -85,6 +85,14 @@ class Decoder(nn.Module):
     stages: Sequence[Tuple[int, int, int, int]] = _DEC_STAGES
     base_width: int = 16
     head: str = "sigmoid"
+    refine_width: int = 0   # >0: full-resolution refinement block — the
+                            # transpose-conv stack ends with only ~2-4
+                            # channels at 54x54, which caps how sharp a
+                            # peak the decoder can render (measured
+                            # dense-z-fit peak ratio plateaus ~0.78
+                            # regardless of training budget); two SAME
+                            # convs at 51x51 add the missing
+                            # high-frequency capacity
 
     @nn.compact
     def __call__(self, z: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -97,7 +105,13 @@ class Decoder(nn.Module):
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=0.9, epsilon=1e-5)(x)
             x = act(x)
-        x = conv_torch(1, 4, 1, 0)(x)
+        if self.refine_width:
+            x = conv_torch(self.refine_width, 4, 1, 0)(x)   # 54 -> 51
+            x = act(x)
+            x = act(nn.Conv(self.refine_width, (3, 3), padding="SAME")(x))
+            x = nn.Conv(1, (3, 3), padding="SAME")(x)
+        else:
+            x = conv_torch(1, 4, 1, 0)(x)
         if self.head == "sigmoid":
             return nn.sigmoid(x)
         if self.head == "softplus":

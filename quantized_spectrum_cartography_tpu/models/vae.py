@@ -23,6 +23,7 @@ class VAE(nn.Module):
     head: str = "sigmoid"  # decoder output head (models/ae.Decoder.head);
                            # non-sigmoid heads pair with an MSE data term
     dec_width: int = 16    # decoder base width (channel multiplier)
+    refine_width: int = 0  # full-resolution refinement block width
 
     def setup(self):
         self.encoder = Encoder(activation=self.activation)
@@ -30,7 +31,8 @@ class VAE(nn.Module):
         self.logstd_head = nn.Dense(self.latent_dim)     # vae.py:83
         self.latent_up = nn.Dense(256)
         self.decoder = Decoder(activation=self.activation, head=self.head,
-                               base_width=self.dec_width)
+                               base_width=self.dec_width,
+                               refine_width=self.refine_width)
 
     def encode(self, x, train: bool = False):
         h = self.encoder(x, train)

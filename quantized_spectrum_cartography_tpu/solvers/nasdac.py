@@ -21,6 +21,105 @@ from quantized_spectrum_cartography_tpu.ops.lowrank import get_tensor
 from quantized_spectrum_cartography_tpu.solvers.base import RecoveryResult
 
 
+def lost_peak_flag(
+    T_hat: jnp.ndarray,
+    T_comp: jnp.ndarray,
+    num_peaks: int,
+    radius: int = 4,
+    thresh: float = 0.3,
+) -> jnp.ndarray:
+    """Completion-witnessed catastrophe detector (ground-truth-free).
+
+    The factorization's one catastrophic failure mode is extinguishing an
+    emitter entirely (measured: at rho=7.5% ALL DowJons misses came from
+    2/50 examples whose lost emitter rendered at 0.05-0.14x with the peak
+    pixel unobserved).  The per-band AE completion `T_comp` sees those
+    peaks; so find the `num_peaks` strongest spatial maxima of the
+    completion's band-summed map (greedy argmax + square non-max
+    suppression of `radius`), and flag the example when the factored
+    estimate carries < `thresh` of the completion's value at any of
+    them.  Flagged examples are re-solved (or swapped) with the
+    completion anchor active.  Returns a scalar bool."""
+    M_comp = jnp.sum(T_comp, axis=0)
+    M_hat = jnp.sum(T_hat, axis=0)
+    I, J = M_comp.shape
+    yy = jnp.arange(I)[:, None]
+    xx = jnp.arange(J)[None, :]
+
+    def body(carry, _):
+        M, worst = carry
+        idx = jnp.argmax(M)
+        y, x = idx // J, idx % J
+        ratio = M_hat[y, x] / jnp.maximum(M_comp[y, x], 1e-12)
+        worst = jnp.minimum(worst, ratio)
+        M = jnp.where((jnp.abs(yy - y) <= radius)
+                      & (jnp.abs(xx - x) <= radius), -jnp.inf, M)
+        return (M, worst), None
+
+    (_, worst), _ = jax.lax.scan(
+        body, (M_comp, jnp.float32(jnp.inf)), None, length=num_peaks)
+    return worst < thresh
+
+
+def witnessed_swap_flag(
+    T_cur: jnp.ndarray,
+    T_cand: jnp.ndarray,
+    T_wit: jnp.ndarray,
+    T_obs: jnp.ndarray,
+    W: jnp.ndarray,
+    num_peaks: int,
+    radius: int = 4,
+    thresh: float = 0.3,
+    fit_factor: float = 0.7,
+    window: int = 5,
+    min_obs: float = 3.0,
+) -> jnp.ndarray:
+    """`lost_peak_flag` with a local data-support gate.
+
+    The bare ratio test over-fires when the witness has spurious local
+    maxima (shadow bumps) the current solution legitimately omits —
+    measured: widening the witness to R+2 peaks fixed 1-5% sampling but
+    introduced 9 swap-induced miss events at 10%.  So a disputed peak
+    only triggers the swap when the candidate ALSO fits the observed
+    entries in a (2*window+1)^2 neighborhood of that peak decisively
+    better (masked squared residual < fit_factor x the current
+    solution's) — real emitters leave their amplitude in the nearby
+    samples; spurious bumps do not.  When the neighborhood holds fewer
+    than `min_obs` observed locations the data cannot adjudicate and the
+    ratio test alone decides (at 1% sampling an 11x11 window averages
+    ~1.2 samples; requiring data support there blocked every beneficial
+    swap).  All inputs [K, I, J] except W [I, J].  Returns scalar
+    bool."""
+    M_wit = jnp.sum(T_wit, axis=0)
+    M_cur = jnp.sum(T_cur, axis=0)
+    I, J = M_wit.shape
+    yy = jnp.arange(I)[:, None]
+    xx = jnp.arange(J)[None, :]
+    Wb = W[None]
+
+    def body(carry, _):
+        M, fire = carry
+        idx = jnp.argmax(M)
+        y, x = idx // J, idx % J
+        ratio = M_cur[y, x] / jnp.maximum(M_wit[y, x], 1e-12)
+        near = ((jnp.abs(yy - y) <= window)
+                & (jnp.abs(xx - x) <= window)).astype(T_obs.dtype)[None]
+        e_cur = jnp.sum(near * Wb * jnp.square(T_obs - T_cur))
+        e_cand = jnp.sum(near * Wb * jnp.square(T_obs - T_cand))
+        n_loc = jnp.sum(near[0] * W)
+        supported = ((e_cand < fit_factor * e_cur)
+                     | (n_loc < min_obs))
+        lost = (ratio < thresh) & supported
+        fire = fire | lost
+        M = jnp.where((jnp.abs(yy - y) <= radius)
+                      & (jnp.abs(xx - x) <= radius), -jnp.inf, M)
+        return (M, fire), None
+
+    (_, fire), _ = jax.lax.scan(
+        body, (M_wit, jnp.bool_(False)), None, length=num_peaks)
+    return fire
+
+
 def anchor_weight(
     W: jnp.ndarray,
     mu0: float = 0.3,
@@ -49,6 +148,7 @@ def recover_nasdac(
     num_emitters: int = 2,
     nnls_iters: int = 200,
     anchor_mu0: float = 0.3,
+    anchor_rho0: float = 0.05,
     polish_ridge: float = 0.0,
 ) -> RecoveryResult:
     """T_obs [K, I, J] sampled at per-location mask Om [I, J] (zeros
@@ -72,7 +172,8 @@ def recover_nasdac(
 
     # refit C by NNLS on the completed SLFs: observed entries at weight 1
     # + (below rho0 sampling) AE-completed entries at weight mu
-    mu = anchor_weight(W, anchor_mu0) if anchor_mu0 > 0.0 else 0.0
+    mu = (anchor_weight(W, anchor_mu0, anchor_rho0)
+          if anchor_mu0 > 0.0 else 0.0)
     if anchor_mu0 > 0.0:
         T_comp = jax.vmap(lambda band: ae_complete(W, band))(T_obs)
         T_fit = T_obs * W[None] + T_comp * (1.0 - W[None])

@@ -33,10 +33,11 @@ def make_vae_generator(
     amp: float = DEFAULT_AMP,
     head: str = "sigmoid",
     dec_width: int = 16,
+    refine_width: int = 0,
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Decoder as G: Z [N, latent] -> SLFs [N, I, J] at SLF amplitude."""
     vae = VAE(latent_dim=latent_dim, beta=beta, head=head,
-              dec_width=dec_width)
+              dec_width=dec_width, refine_width=refine_width)
 
     def gen(Z):
         out = vae.apply(variables, Z, train=False, method=VAE.decode)
@@ -78,5 +79,7 @@ def load_vae_prior(path: str) -> Tuple[Callable, int, dict]:
     amp = float(state.pop("amp", DEFAULT_AMP))
     head = HEAD_CODES[int(state.pop("head_code", 0))]
     dec_width = int(state.pop("dec_width", 16))
-    gen = make_vae_generator(state, latent, beta, amp, head, dec_width)
+    refine_width = int(state.pop("refine_width", 0))
+    gen = make_vae_generator(state, latent, beta, amp, head, dec_width,
+                             refine_width)
     return gen, latent, state

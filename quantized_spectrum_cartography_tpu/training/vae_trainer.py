@@ -64,6 +64,7 @@ class VAETrainConfig:
                                   # handful of peak pixels.  0 disables.
     head: str = "sigmoid"         # decoder output head (models/ae.Decoder)
     dec_width: int = 16           # decoder channel-width multiplier base
+    refine_width: int = 0         # full-resolution refinement block width
     recon: str = "bce"            # data term: 'bce' (reference, vae.py:
                                   # 345-370; requires sigmoid head) or
                                   # 'mse' (works with any head — the
@@ -80,7 +81,7 @@ def train_vae(
     log_fn=print,
 ) -> Tuple[Any, Dict[str, Any]]:
     model = VAE(latent_dim=cfg.latent_dim, beta=cfg.beta, head=cfg.head,
-                dec_width=cfg.dec_width)
+                dec_width=cfg.dec_width, refine_width=cfg.refine_width)
     k0, key = jax.random.split(key)
     variables = model.init(k0, jnp.zeros((1, 51, 51, 2)),
                            jax.random.PRNGKey(0), train=True)
@@ -182,7 +183,7 @@ def heldout_elbo(
     if key is None:
         key = jax.random.PRNGKey(987_654)
     model = VAE(latent_dim=cfg.latent_dim, beta=cfg.beta, head=cfg.head,
-                dec_width=cfg.dec_width)
+                dec_width=cfg.dec_width, refine_width=cfg.refine_width)
     sampler = make_slf_sampler(physics)
     bcfg = SLFBatchConfig(batch_size=cfg.batch_size, normalize_peak=True)
 

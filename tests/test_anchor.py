@@ -1,0 +1,129 @@
+"""Round-4 components: completion-anchored C fit, latent-descent DowJons,
+decoder heads.
+
+Covers:
+- anchor_weight schedule (full at rho->0, zero at/above rho0);
+- recover_dowjons_ae_latent end-to-end on a small problem (finite,
+  improves over zero);
+- _polish_c_to_observed pins unidentifiable amplitudes at anchored
+  values while letting observed ones fit the data;
+- Decoder heads: softplus output is unbounded-above/nonnegative,
+  scaled_sigmoid trains a gain parameter; VAE plumbs head/dec_width.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantized_spectrum_cartography_tpu.models import VAE, Autoencoder
+from quantized_spectrum_cartography_tpu.models.ae import Decoder
+from quantized_spectrum_cartography_tpu.ops.lowrank import get_tensor
+from quantized_spectrum_cartography_tpu.solvers.completion import (
+    _polish_c_to_observed,
+    recover_dowjons_ae_latent,
+)
+from quantized_spectrum_cartography_tpu.solvers.nasdac import anchor_weight
+from quantized_spectrum_cartography_tpu.training.ae_trainer import (
+    make_ae_latent_fns,
+)
+
+
+def test_anchor_weight_schedule():
+    I = 10
+    W_empty = jnp.zeros((I, I))
+    W_full = jnp.ones((I, I))
+    assert float(anchor_weight(W_empty, 0.3, 0.05)) == pytest.approx(0.3)
+    assert float(anchor_weight(W_full, 0.3, 0.05)) == 0.0
+    # 2.5% observed -> half weight (I*I = 100 -> hit 2.5% exactly with
+    # a 40-cell grid scaled up: use 1000 cells, 25 observed)
+    W_half = jnp.zeros((1000,)).at[:25].set(1.0)
+    assert float(anchor_weight(W_half, 0.3, 0.05)) == \
+        pytest.approx(0.15, abs=1e-6)
+
+
+def test_polish_keeps_unobserved_emitter_amplitude():
+    # emitter 0 fully observed, emitter 1 has no observed support: the
+    # polished C must keep emitter 1's anchored amplitude and recover
+    # emitter 0's true amplitude from the data
+    I = J = 8
+    K = 4
+    S = jnp.zeros((2, I, J)).at[0, :4, :].set(1.0).at[1, 6:, :].set(1.0)
+    C_true = jnp.asarray([[2.0, 1.0, 0.5, 0.1], [1.0, 2.0, 0.2, 0.4]])
+    T = get_tensor(S, C_true)
+    W = jnp.zeros((1, I, J)).at[0, :4, :].set(1.0)   # observe only emitter 0
+    C_anchor = C_true * jnp.asarray([[0.5], [1.0]])  # em0 anchored WRONG
+    C = _polish_c_to_observed(S, C_anchor, T, W, ridge_rel=0.05)
+    # emitter 0 snaps to the observed truth despite the wrong anchor
+    np.testing.assert_allclose(np.asarray(C[0]), np.asarray(C_true[0]),
+                               atol=0.15)
+    # emitter 1 (unobserved) stays at its anchored value
+    np.testing.assert_allclose(np.asarray(C[1]), np.asarray(C_anchor[1]),
+                               atol=0.15)
+
+
+@pytest.fixture(scope="module")
+def tiny_ae():
+    model = Autoencoder(activation="selu")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 51, 51, 2)), train=False)
+    return model, variables
+
+
+def test_dowjons_ae_latent_runs(tiny_ae):
+    model, variables = tiny_ae
+    enc, dec = make_ae_latent_fns(model, variables, scale=2.5)
+    key = jax.random.PRNGKey(1)
+    S_true = jax.random.uniform(key, (2, 51, 51)) * 0.05
+    C_true = jax.random.uniform(jax.random.fold_in(key, 1), (2, 64))
+    T = get_tensor(S_true, C_true)
+    Om = jax.random.bernoulli(jax.random.fold_in(key, 2), 0.2, (51, 51))
+    T_obs = T * Om.astype(T.dtype)[None]
+    res = recover_dowjons_ae_latent(T_obs, Om, enc, dec,
+                                    num_emitters=2, outer_iters=3,
+                                    z_steps=3, T_true=T)
+    assert np.isfinite(float(res.costs[-1]))
+    assert res.S.shape == (2, 51, 51)
+    assert res.C.shape == (2, 64)
+    assert float(jnp.min(res.C)) >= 0.0
+    # the shared objective decreases across outer iterations
+    assert float(res.costs[-1]) <= float(res.costs[0]) + 1e-6
+
+
+def test_dowjons_ae_latent_anchored_runs(tiny_ae):
+    model, variables = tiny_ae
+    enc, dec = make_ae_latent_fns(model, variables, scale=2.5)
+    key = jax.random.PRNGKey(3)
+    S_true = jax.random.uniform(key, (2, 51, 51)) * 0.05
+    C_true = jax.random.uniform(jax.random.fold_in(key, 1), (2, 64))
+    T = get_tensor(S_true, C_true)
+    Om = jax.random.bernoulli(jax.random.fold_in(key, 2), 0.01, (51, 51))
+    T_obs = T * Om.astype(T.dtype)[None]
+    res = recover_dowjons_ae_latent(
+        T_obs, Om, enc, dec, num_emitters=2, outer_iters=2, z_steps=2,
+        T_anchor=T * 0.9)
+    assert np.isfinite(float(res.costs[-1]))
+
+
+@pytest.mark.parametrize("head", ["softplus", "scaled_sigmoid"])
+def test_decoder_heads(head):
+    dec = Decoder(activation="selu", head=head)
+    variables = dec.init(jax.random.PRNGKey(0), jnp.zeros((2, 256)),
+                         train=False)
+    out = dec.apply(variables, jax.random.normal(
+        jax.random.PRNGKey(1), (2, 256)) * 3.0, train=False)
+    assert out.shape == (2, 51, 51, 1)
+    assert float(jnp.min(out)) >= 0.0
+    if head == "scaled_sigmoid":
+        flat = jax.tree_util.tree_leaves_with_path(variables["params"])
+        assert any("log_gain" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+def test_vae_head_plumbing():
+    vae = VAE(latent_dim=8, head="softplus", dec_width=32)
+    variables = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 51, 51, 2)),
+                         jax.random.PRNGKey(1), train=False)
+    out = vae.apply(variables, jnp.ones((3, 8)), train=False,
+                    method=VAE.decode)
+    assert out.shape == (3, 51, 51, 1)
+    assert float(jnp.min(out)) >= 0.0

@@ -51,7 +51,7 @@ NUM_EXAMPLES = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 CONFIG = {
     "ae_checkpoint": "checkpoints/ae_completion/final (scale 2.5, "
                      "peak-weighted MSE retrain, AE_RETRAIN.json)",
-    "vae_checkpoint": "checkpoints/vae_best/final",
+    "vae_checkpoint": "checkpoints/vae_peak_z256 (round-4 softplus/z256 prior)",
     "dowjons_variant": "gan (use_gan=true path with the VAE prior; "
                        "anchored objective)",
     "dowjons_iters": 30,
@@ -60,11 +60,23 @@ CONFIG = {
     "anchor_mu0": 0.3,
     "anchor_schedule": "mu = mu0 * clip(1 - f/0.05, 0, 1) "
                        "(solvers/nasdac.anchor_weight)",
-    "c_polish_ridge_rel": 0.1,
+    "c_polish_ridge_rel": 0.0,   # polish OFF (trades miss for SRE)
+    "backstop_frac": 0.5,
+    "peak_refine_patches": 2,
+    "witness": "completion-witnessed anchored nasdac + pointwise no-extinguish backstop + residual peak refine",
     "nnls_iters": 100,
     "seed": 0,
 }
-methods = load_pretrained_methods(only=("deepcomp", "nasdac", "dowjons"))
+import os
+
+_vae_ckpt = os.environ.get("QSC_VAE_CKPT")
+if _vae_ckpt:
+    CONFIG["vae_checkpoint"] = _vae_ckpt
+    methods = load_pretrained_methods(
+        vae_ckpt=_vae_ckpt, only=("deepcomp", "nasdac", "dowjons"))
+else:
+    methods = load_pretrained_methods(only=("deepcomp", "nasdac",
+                                            "dowjons"))
 log("methods:", list(methods))
 
 harness = BatchedHarness(methods, PhysicsConfig(), log_fn=log)
@@ -93,7 +105,8 @@ for m in methods:
     log(f"{m:9s} publ  " + " ".join(f"{v:.4f}" for v in pub)
         + ("  <= published at every rho: PASS" if ok else "  FAIL"))
 
-with open("/root/repo/MISSPROB.json", "w") as f:
+OUT = os.environ.get("QSC_MISSPROB_OUT", "/root/repo/MISSPROB.json")
+with open(OUT, "w") as f:
     json.dump({
         "protocol": "joint_opt_ae.m:514-544 events, :549-554 denominators",
         "config": CONFIG,
@@ -108,4 +121,4 @@ with open("/root/repo/MISSPROB.json", "w") as f:
                  "published rows are the reference's own Monte-Carlo "
                  "aggregates at unspecified example counts.",
     }, f, indent=1)
-log("wrote MISSPROB.json; all_match_or_beat =", all_pass)
+log(f"wrote {OUT}; all_match_or_beat =", all_pass)

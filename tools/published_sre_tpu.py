@@ -1,4 +1,5 @@
-"""Five-method SRE table at the reference's published-figure config.
+"""Five-method SRE table at the reference's published-figure config —
+64 Monte-Carlo examples with mean / median / trimmed mean.
 
 The only external SRE anchors in the reference are the single-example
 figure titles at `backup/algorithms/joint_opt_ae.m:605-645`
@@ -6,10 +7,14 @@ figure titles at `backup/algorithms/joint_opt_ae.m:605-645`
 
     DowJons 0.3163 | Nasdac 1.1751 | DeepComp 0.4201 | LL1 1.2288 | TPS 1.9181
 
-This tool trains the completion AE (the DeepComp/Nasdac prior, which the
-reference ships as a stripped checkpoint), registers all five methods, and
-runs the full harness protocol at that config over several Monte-Carlo
-examples, producing the side-by-side table for RESULTS.md.
+Round 3 ran 16 examples and disclosed DeepComp's mean (0.5022) as
+inflated by 2/16 outlier draws; VERDICT task 9 asks whether that is a
+tail property of the completion (expect: heavy right tail, median and
+trimmed mean far below the published anchor) or a fixable failure.  This
+run quadruples the sample and reports mean, median, 12.5%-trimmed mean,
+and the sorted per-example SREs for every method.
+
+Usage: python tools/published_sre_tpu.py [num_examples]
 """
 
 import json
@@ -31,70 +36,88 @@ def log(*a):
 log("backend:", jax.default_backend())
 
 from quantized_spectrum_cartography_tpu.baselines import (
-    Condition, condition_grid, run_conditions, standard_methods)
+    BatchedHarness, condition_grid, load_pretrained_methods)
 from quantized_spectrum_cartography_tpu.config import PhysicsConfig
-from quantized_spectrum_cartography_tpu.models import Autoencoder
-from quantized_spectrum_cartography_tpu.solvers.vae_prior import load_vae_prior
-from quantized_spectrum_cartography_tpu.training import load_checkpoint
-from quantized_spectrum_cartography_tpu.training.ae_trainer import (
-    AETrainConfig, make_ae_completer, train_ae)
-from quantized_spectrum_cartography_tpu.training.checkpoints import (
-    save_checkpoint)
+
+NUM = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 
 PUBLISHED = {"dowjons": 0.3163, "nasdac": 1.1751, "deepcomp": 0.4201,
              "btd": 1.2288, "tps": 1.9181}
+CAVEATS = {
+    "dowjons": "VAE decoder prior (measured stronger than our SNGAN at "
+               "equal budget) instead of the reference's SNGAN; joint "
+               "NNLS + latent-descent alternation with SPA/AE-seeded "
+               "multi-restart init; completion anchor inactive at f=0.05",
+    "nasdac": "same SPA + AE completion pipeline, retrained AE; C refit "
+              "by NNLS on the completed SLFs (upgrade over the "
+              "reference's SPA pseudo-inverse C); anchor inactive at "
+              "f=0.05",
+    "deepcomp": "same per-band AE completion algorithm; the completion "
+                "AE is retrained from scratch on simulator data "
+                "(training/ae_trainer.py) — the reference ships weights "
+                "without a training script",
+    "btd": "validity-capped mean (SRE<3, joint_opt_ae.m:496-501), "
+           "matching the reference's count_valid accumulation",
+    "tps": "different implementation: `full_tps` was never shipped; "
+           "baselines/tps.py is a proper thin-plate-spline completer",
+}
 
-AE_CKPT = "/root/repo/checkpoints/ae_completion/final"
-
-# ---- completion AE (train once, reuse across runs) -----------------------
-try:
-    state = dict(load_checkpoint(AE_CKPT))
-    scale = float(state.pop("scale"))
-    ae_vars = state
-    log("loaded completion AE from", AE_CKPT)
-except Exception as e:
-    log("training completion AE (mixed slf+band data):", repr(e))
-    cfg = AETrainConfig(steps=12000, data_mode="mixed", scale=50.0)
-    ae_vars, info = train_ae(jax.random.PRNGKey(7), cfg,
-                             log_every=2000, log_fn=log)
-    scale = info["scale"]
-    save_checkpoint(AE_CKPT, {**ae_vars, "scale": jax.numpy.float32(scale)})
-    log("saved", AE_CKPT)
-
-ae_complete = make_ae_completer(Autoencoder(activation="selu"), ae_vars,
-                                scale)
-
-# ---- deep generative prior (DowJons S-step) ------------------------------
-gen, z_dim, _ = load_vae_prior("/root/repo/checkpoints/vae_best/final")
-log(f"VAE prior loaded (latent {z_dim})")
-
-# ---- run the published config --------------------------------------------
-methods = standard_methods(gen_apply=gen, z_dim=z_dim,
-                           ae_complete=ae_complete)
-out = run_conditions(
-    methods,
-    condition_grid(),              # the single base condition = figure config
-    num_examples=3,
-    physics=PhysicsConfig(),
-    seed=0,
-    log_fn=log,
-)
-
+methods = load_pretrained_methods()
+harness = BatchedHarness(methods, PhysicsConfig(), log_fn=log)
+out = harness.run(condition_grid(), num_examples=NUM, seed=0)
 (label, per_method), = out.items()
-log("condition:", label)
+
 table = {}
-for name, stats in per_method.items():
+for name, st in per_method.items():
     pub = PUBLISHED.get(name)
-    table[name] = {"sre": stats["sre"], "published": pub,
-                   "nae_s": stats["nae_s"], "nae_c": stats["nae_c"],
-                   "miss_prob": stats["miss_prob"],
-                   "false_prob": stats["false_prob"],
-                   "valid": stats["valid"]}
-    log(f"{name:9s} SRE {stats['sre']:.4f}  (published {pub})  "
-        f"NAE_S {stats['nae_s']:.4f} NAE_C {stats['nae_c']:.4f} "
-        f"miss {stats['miss_prob']:.4f} false {stats['false_prob']:.4f}")
+    sres = np.sort(np.asarray(st["sre_all"]))
+    cap = 3.0 if name == "btd" else None
+    valid = sres[sres < cap] if cap else sres
+    k = max(1, int(round(0.125 * valid.size)))
+    trimmed = float(valid[:-k].mean()) if valid.size > k else float(
+        valid.mean())
+    row = {
+        "published_sre": pub,
+        "sre_mean": round(float(valid.mean()), 4),
+        "sre_median": round(float(np.median(valid)), 4),
+        "sre_trimmed_mean_12.5pct": round(trimmed, 4),
+        "valid": int(valid.size),
+        "nae_s": (round(st["nae_s"], 4) if st["nae_s"] == st["nae_s"]
+                  else None),
+        "nae_c": (round(st["nae_c"], 4) if st["nae_c"] == st["nae_c"]
+                  else None),
+        "miss_prob": round(st["miss_prob"], 4),
+        "false_prob": round(st["false_prob"], 4),
+        "sre_sorted": [round(float(v), 3) for v in sres],
+        "beats_published_mean": bool(valid.mean() < pub),
+        "beats_published_median": bool(np.median(valid) < pub),
+        "beats_published_trimmed": bool(trimmed < pub),
+        "caveat": CAVEATS.get(name, ""),
+    }
+    table[name] = row
+    log(f"{name:9s} mean {row['sre_mean']:.4f} med {row['sre_median']:.4f} "
+        f"trim {row['sre_trimmed_mean_12.5pct']:.4f} "
+        f"(published {pub})  valid {row['valid']}/{NUM}")
 
 with open("/root/repo/PUBLISHED_SRE.json", "w") as f:
-    json.dump({"condition": label, "num_examples": 3,
-               "methods": table}, f, indent=1)
+    json.dump({
+        "protocol": "base condition f=0.05 R=2 sigma=5 Xc=50 noiseless "
+                    f"(joint_opt_ae.m:12-28), {NUM} vmapped Monte-Carlo "
+                    "examples (seed 0), BatchedHarness; published "
+                    "anchors are the reference's SINGLE-example figure "
+                    "titles (joint_opt_ae.m:605-645), so medians / "
+                    "trimmed means are the fairer comparison and all "
+                    "three statistics are reported with the full sorted "
+                    "per-example SREs",
+        "config": {
+            "ae_checkpoint": "checkpoints/ae_completion/final",
+            "vae_checkpoint": "checkpoints/vae_best/final",
+            "dowjons_variant": "gan", "dowjons_iters": 30,
+            "dowjons_restarts": 4, "anchor_mu0": 0.3,
+            "seed": 0,
+        },
+        "num_examples": NUM,
+        "methods": table,
+        "wall_seconds": round(time.time() - t0, 1),
+    }, f, indent=1)
 log("wrote PUBLISHED_SRE.json")

@@ -51,28 +51,38 @@ from quantized_spectrum_cartography_tpu.solvers.vae_prior import HEAD_CODES
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
 ONLY = set(sys.argv[2:])
 
-LATENT = 128
+DEFAULT_LATENT = 128
 pcfg = PhysicsConfig()
 sampler = make_slf_sampler(pcfg)
 eval_slfs = np.asarray(sampler(jax.random.PRNGKey(999), 16))
 
-# (name, head, recon, beta, peak_weight, dec_width)
+# (name, head, recon, beta, peak_weight, dec_width, refine_width, latent)
 # MSE data term is ~50-100x smaller than the BCE sum at convergence, so
 # beta scales down accordingly to keep comparable KL pressure.
 CANDIDATES = [
-    ("sigmoid_bce_ctrl", "sigmoid", "bce", 0.5, 0.0, 16),
-    ("softplus_mse", "softplus", "mse", 0.01, 4.0, 16),
-    ("softplus_mse_b003", "softplus", "mse", 0.003, 4.0, 16),
-    ("scaled_sigmoid_mse", "scaled_sigmoid", "mse", 0.01, 4.0, 16),
-    ("softplus_mse_wide", "softplus", "mse", 0.01, 4.0, 32),
-    ("softplus_mse_wide_pw8", "softplus", "mse", 0.01, 8.0, 32),
-    ("softplus_mse_wide_b003", "softplus", "mse", 0.003, 4.0, 32),
+    ("sigmoid_bce_ctrl", "sigmoid", "bce", 0.5, 0.0, 16, 0, 128),
+    ("softplus_mse", "softplus", "mse", 0.01, 4.0, 16, 0, 128),
+    ("softplus_mse_b003", "softplus", "mse", 0.003, 4.0, 16, 0, 128),
+    ("scaled_sigmoid_mse", "scaled_sigmoid", "mse", 0.01, 4.0, 16, 0, 128),
+    ("softplus_mse_wide", "softplus", "mse", 0.01, 4.0, 32, 0, 128),
+    ("softplus_mse_wide_pw8", "softplus", "mse", 0.01, 8.0, 32, 0, 128),
+    ("softplus_mse_wide_b003", "softplus", "mse", 0.003, 4.0, 32, 0, 128),
+    ("softplus_refine", "softplus", "mse", 0.01, 4.0, 32, 16, 128),
+    ("softplus_refine_pw8", "softplus", "mse", 0.01, 8.0, 32, 16, 128),
+    ("softplus_refine_w32", "softplus", "mse", 0.01, 4.0, 32, 32, 128),
+    # latent-capacity axis: the measured ceiling splits into a KL-smoothed
+    # capacity limit (shadow-free z-fit 0.86) and shadowing idiosyncrasy
+    # the latent must encode (-0.13); both respond to bigger z + lower beta
+    ("softplus_z256", "softplus", "mse", 0.005, 4.0, 32, 16, 256),
+    ("softplus_z512_b003", "softplus", "mse", 0.003, 4.0, 32, 16, 512),
+    ("softplus_z512_b001", "softplus", "mse", 0.001, 4.0, 32, 16, 512),
 ]
 
 
 def evaluate(name, cfg, vvars):
+    LATENT = cfg.latent_dim
     vae = VAE(latent_dim=LATENT, beta=cfg.beta, head=cfg.head,
-              dec_width=cfg.dec_width)
+              dec_width=cfg.dec_width, refine_width=cfg.refine_width)
 
     def gen(Z):
         out = vae.apply(vvars, Z, train=False, method=VAE.decode)
@@ -81,7 +91,7 @@ def evaluate(name, cfg, vvars):
     # dense z-fit peak ratio
     targets = jnp.asarray(eval_slfs)
     fit = jax.jit(jax.vmap(lambda t, k: optimize_z(
-        k, gen, t[None], adam_steps=600, z_dim=LATENT)[0][0]))
+        k, gen, t[None], adam_steps=1000, z_dim=LATENT)[0][0]))
     outs = np.asarray(fit(targets,
                           jax.random.split(jax.random.PRNGKey(1), 16)))
     ratios, rel = [], []
@@ -117,20 +127,21 @@ results = {}
 if os.path.exists("/root/repo/VAE_HEADS.json"):
     with open("/root/repo/VAE_HEADS.json") as f:
         results = json.load(f)
-for name, head, recon, beta, pw, width in CANDIDATES:
+for name, head, recon, beta, pw, width, refine, latent in CANDIDATES:
     if ONLY and name not in ONLY:
         continue
-    cfg = VAETrainConfig(steps=STEPS, latent_dim=LATENT, batch_size=64,
+    cfg = VAETrainConfig(steps=STEPS, latent_dim=latent, batch_size=64,
                          beta=beta, free_bits=0.1, ema_decay=0.999,
                          head=head, recon=recon, peak_weight=pw,
-                         dec_width=width)
+                         dec_width=width, refine_width=refine)
     vvars, vdiag = train_vae(
         jax.random.PRNGKey(7), cfg, log_every=max(STEPS // 4, 1),
         log_fn=lambda m, n=name: log(f"{n} {m}"))
     evars = vdiag["variables_ema"]
     res = evaluate(name, cfg, evars)
     res.update(head=head, recon=recon, beta=beta, peak_weight=pw,
-               dec_width=width, steps=STEPS)
+               dec_width=width, refine_width=refine, latent=latent,
+               steps=STEPS)
     key = name
     if key in results and results[key].get("steps") != STEPS:
         key = f"{name}@{STEPS}"
@@ -140,10 +151,11 @@ for name, head, recon, beta, pw, width in CANDIDATES:
         f"relMSE {res['zfit_rel_mse_median']:.4f} "
         f"completion {res['completion_nmse']:.4f}")
     save_checkpoint(f"/root/repo/checkpoints/vae_heads/{name}",
-                    {**evars, "latent_dim": jnp.int32(LATENT),
+                    {**evars, "latent_dim": jnp.int32(latent),
                      "beta": jnp.float32(beta),
                      "head_code": jnp.int32(HEAD_CODES.index(head)),
                      "dec_width": jnp.int32(width),
+                     "refine_width": jnp.int32(refine),
                      "amp": jnp.float32(0.26)})
     with open("/root/repo/VAE_HEADS.json", "w") as f:
         json.dump(results, f, indent=1)
