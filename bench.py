@@ -74,7 +74,11 @@ def jax_maps_per_sec() -> float:
         acc += float(jnp.sum(res.costs))     # forced completion fence
         rates.append(BATCH / (time.time() - t0))
     assert acc == acc  # keep the fence live
-    return float(np.mean(rates)), rates
+    # median of the reps: the tunnel occasionally serves one cold/slow
+    # window (measured rep sets like [141, 293.6, 292.6, 295.3, 294.5]);
+    # the median reports the sustained rate while rep_rates/rep_spread
+    # expose the variance
+    return float(np.median(rates)), rates
 
 
 def torch_maps_per_sec() -> float:

@@ -62,7 +62,8 @@ CAVEATS = {
            "baselines/tps.py is a proper thin-plate-spline completer",
 }
 
-methods = load_pretrained_methods()
+methods = load_pretrained_methods(
+    only=("tps", "btd", "deepcomp", "nasdac", "dowjons"))
 harness = BatchedHarness(methods, PhysicsConfig(), log_fn=log)
 out = harness.run(condition_grid(), num_examples=NUM, seed=0)
 (label, per_method), = out.items()
