@@ -647,6 +647,14 @@ def standard_methods(
             S_init = S_flat.reshape(R, *hp.Om.shape)
             dense = ae_complete is not None
             if dense:
+                # NOTE: the SPA columns are deliberately completed at
+                # their RAW amplitude.  Pre-normalizing the observed-entry
+                # RMS into the AE's training regime (the ae_latent
+                # variant's convention) was A/B-measured on the full miss
+                # protocol and REGRESSED the curve at 5%/10% sampling
+                # (0.0292->0.0320, 0.0000->0.0016 at 150 examples/rho);
+                # the completion of the saturated raw input preserves
+                # peak geometry better for this init path.
                 S_init = jnp.stack([ae_complete(W, S_init[r])
                                     for r in range(R)])
             plain = recover_dowjons_unquantized(

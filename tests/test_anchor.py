@@ -105,6 +105,57 @@ def test_dowjons_ae_latent_anchored_runs(tiny_ae):
     assert np.isfinite(float(res.costs[-1]))
 
 
+def test_residual_peak_refine_lifts_underfit_peak():
+    from quantized_spectrum_cartography_tpu.solvers.completion import (
+        residual_peak_refine)
+    I = J = 51
+    K = 8
+    yy = jnp.arange(I, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(J, dtype=jnp.float32)[None, :]
+    d = jnp.sqrt(jnp.square(yy - 2.0) + jnp.square(xx - 10.0))
+    bump = jnp.minimum(1.0, (jnp.maximum(d, 1e-6) / 2.0) ** -2.25)
+    amps = jnp.linspace(0.5, 1.0, K)
+    T_true = amps[:, None, None] * bump[None]
+    T_hat = 0.1 * T_true                      # extinguished peak
+    W = (jax.random.uniform(jax.random.PRNGKey(0), (I, J)) < 0.1
+         ).astype(jnp.float32)
+    out = residual_peak_refine(T_hat, T_true * W[None], W, num_patches=1)
+    # the patch lifts the (unobserved) peak pixel toward truth
+    before = float(T_hat[:, 2, 10].mean() / T_true[:, 2, 10].mean())
+    after = float(out[:, 2, 10].mean() / T_true[:, 2, 10].mean())
+    assert after > 0.5 and after > before
+    # where the model already fits, the patch is a no-op
+    out2 = residual_peak_refine(T_true, T_true * W[None], W,
+                                num_patches=2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(T_true),
+                               atol=1e-5)
+
+
+def test_witnessed_swap_flag_fires_and_gates():
+    from quantized_spectrum_cartography_tpu.solvers.nasdac import (
+        witnessed_swap_flag)
+    I = J = 51
+    K = 4
+    yy = jnp.arange(I, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(J, dtype=jnp.float32)[None, :]
+    d = jnp.sqrt(jnp.square(yy - 25.0) + jnp.square(xx - 25.0))
+    bump = jnp.minimum(1.0, (jnp.maximum(d, 1e-6) / 2.0) ** -2.25)
+    T_wit = jnp.broadcast_to(bump[None], (K, I, J))
+    W = jnp.ones((I, J))
+    T_obs = T_wit                              # data supports the witness
+    # current solution extinguishes the witnessed peak -> fires
+    assert bool(witnessed_swap_flag(0.05 * T_wit, T_wit, T_wit, T_obs,
+                                    W, 2))
+    # current solution carries the peak -> does not fire
+    assert not bool(witnessed_swap_flag(T_wit, T_wit, T_wit, T_obs,
+                                        W, 2))
+    # dense data that CONTRADICTS the witness (obs ~ 0) gates the swap:
+    # the candidate fits the local observations no better
+    T_obs0 = jnp.zeros_like(T_wit)
+    assert not bool(witnessed_swap_flag(0.05 * T_wit, T_wit, T_wit,
+                                        T_obs0, W, 2))
+
+
 @pytest.mark.parametrize("head", ["softplus", "scaled_sigmoid"])
 def test_decoder_heads(head):
     dec = Decoder(activation="selu", head=head)
