@@ -557,6 +557,8 @@ def standard_methods(
     anchor_mu0: float = 0.3,
     peak_refine: int = 2,
     backstop_frac: float = 0.5,
+    polish_ridge: float = 0.0,
+    polish_gamma: float = 0.8,
 ) -> Dict[str, HarnessFn]:
     """Method registry.  `gen_apply` (deep generative prior) enables
     DowJons; `ae_complete(mask, map) -> map` (a trained completion AE,
@@ -609,9 +611,18 @@ def standard_methods(
             W = hp.Om.astype(hp.T_obs.dtype)
             plain = recover_nasdac(hp.T_obs, hp.Om, ae_complete,
                                    num_emitters=R, anchor_mu0=0.0)
+            # polish_ridge > 0 adds the peak-gated observed-entry C
+            # polish to the anchored branch (round 5): the anchored
+            # amplitudes hold miss parity but imprint the completion's
+            # amplitude error on every band; the gated polish snaps
+            # identifiable bands to the real samples while a per-band
+            # blend guarantees witnessed peaks keep >= polish_gamma of
+            # their anchored value (solvers/completion.peak_gated_blend).
             anch = recover_nasdac(hp.T_obs, hp.Om, ae_complete,
                                   num_emitters=R, anchor_mu0=anchor_mu0,
-                                  anchor_rho0=1.0)
+                                  anchor_rho0=1.0,
+                                  polish_ridge=polish_ridge,
+                                  polish_gamma=polish_gamma)
             T_comp = jax.vmap(lambda band: ae_complete(W, band))(hp.T_obs)
             flag = witnessed_swap_flag(plain.T_hat, anch.T_hat, T_comp,
                                        hp.T_obs, W, R + 2)
@@ -729,16 +740,21 @@ def standard_methods(
 
         methods["dowjons_ae_latent"] = dowjons_ae_latent_fn
 
-    # "dowjons" resolves to the requested variant.  Default 'ae_latent' —
-    # the reference's committed harness configuration (joint_opt_ae.m:29
-    # use_gan=false dispatches the S-step to nn_descent_ae.run_descent_ae,
-    # the latent descent through autoencoder.decoder); 'gan' is the
-    # use_gan=true path (here with the VAE prior).
+    # "dowjons" resolves to the requested variant — default 'gan' (the
+    # use_gan=true path, here with the VAE prior; it is the variant the
+    # committed artifacts MISSPROB.json / PUBLISHED_SRE.json measure).
+    # 'ae_latent' is the reference's committed harness configuration
+    # (joint_opt_ae.m:29 use_gan=false dispatches the S-step to
+    # nn_descent_ae.run_descent_ae, the latent descent through
+    # autoencoder.decoder).  The chosen variant key is POPPED after
+    # aliasing so a consumer that runs the full registry (cli
+    # `conditions` with no `only` filter) does not execute the most
+    # expensive solver twice under two names (ADVICE.md round 4).
     variant_key = f"dowjons_{dowjons_variant}"
+    if variant_key not in methods and "dowjons_gan" in methods:
+        variant_key = "dowjons_gan"
     if variant_key in methods:
-        methods["dowjons"] = methods[variant_key]
-    elif "dowjons_gan" in methods:
-        methods["dowjons"] = methods["dowjons_gan"]
+        methods["dowjons"] = methods.pop(variant_key)
 
     return methods
 

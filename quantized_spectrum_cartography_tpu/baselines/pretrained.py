@@ -5,9 +5,10 @@ One-call construction of the five published methods
 model; DeepComp and Nasdac use the completion autoencoder
 (`checkpoints/ae_completion`, trained by `training/ae_trainer.py` — the
 reference ships its AE as a stripped checkpoint, `deep_comp.py:14-16`);
-DowJons uses the deep generative prior (`checkpoints/vae_best`; the
-reference used an SNGAN generator, `qmc/qmc_utils.py:22-33` — asymmetry
-disclosed in RESULTS.md).
+DowJons uses the deep generative prior (`checkpoints/vae_peak_z256`,
+the round-4 softplus-head z256 VAE — see VAE_HEADS.json; the reference
+used an SNGAN generator, `qmc/qmc_utils.py:22-33` — asymmetry disclosed
+in RESULTS.md).
 """
 
 from __future__ import annotations

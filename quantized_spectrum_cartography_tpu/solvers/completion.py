@@ -63,6 +63,73 @@ def _polish_c_to_observed(
     return nnls_rows(A_aug, B_aug, iters=nnls_iters).T
 
 
+def peak_gated_blend(
+    S: jnp.ndarray,
+    C_anch: jnp.ndarray,
+    C_pol: jnp.ndarray,
+    peaks_yx: jnp.ndarray,
+    gamma: float = 0.8,
+) -> jnp.ndarray:
+    """Per-band blend of the anchored and observed-polished C factors
+    with a closed-form peak-protection guarantee (the round-4 VERDICT's
+    low-rho frontier: the unconstrained polish recovers SRE 2.77 -> 1.4
+    at rho=1% but trades miss 0.30 -> 0.44 because the ridge pulls ALL
+    bands, including witnessed emitter peaks).
+
+    For band k the blended column is C_b = a_k*C_pol + (1-a_k)*C_anch,
+    and by linearity the rendered value at any location p is
+    a_k*v_pol[k,p] + (1-a_k)*v_anch[k,p].  Choosing
+
+        a_k = min over protected peaks p of
+              1                                if v_pol >= gamma*v_anch
+              (1-gamma)*v_anch/(v_anch-v_pol)  otherwise
+
+    guarantees the blend never renders below gamma x the anchored value
+    at any witnessed peak (the amplitudes that hold miss parity), while
+    bands whose polished column keeps the peaks — the vast majority;
+    the polish only collapses amplitudes where the observed design is
+    blind — snap fully to the real samples.  This recovers SRE and
+    *reduces* false alarms (observed data pulls inactive-band
+    amplitudes to ~0) without giving back detection.
+
+    S [R, I, J]; C_* [R, K]; peaks_yx [P, 2] int (y, x) witness peaks
+    (solvers/nasdac.witness_peaks).  Returns blended C [R, K].
+    """
+    s_at = S[:, peaks_yx[:, 0], peaks_yx[:, 1]]        # [R, P]
+    v_anch = jnp.einsum("rp,rk->kp", s_at, C_anch)     # [K, P]
+    v_pol = jnp.einsum("rp,rk->kp", s_at, C_pol)
+    need = v_pol < gamma * v_anch
+    a = jnp.where(
+        need,
+        (1.0 - gamma) * v_anch / jnp.maximum(v_anch - v_pol, 1e-12),
+        1.0)
+    a_k = jnp.clip(jnp.min(a, axis=1), 0.0, 1.0)       # [K]
+    return a_k[None, :] * C_pol + (1.0 - a_k)[None, :] * C_anch
+
+
+def gated_polish_c(
+    S: jnp.ndarray,
+    C_anch: jnp.ndarray,
+    T_obs: jnp.ndarray,
+    W: jnp.ndarray,
+    T_wit: jnp.ndarray,
+    num_peaks: int,
+    ridge_rel: float = 0.1,
+    gamma: float = 0.8,
+    nnls_iters: int = 200,
+) -> jnp.ndarray:
+    """Observed-entry C polish gated by completion-witnessed peaks:
+    `_polish_c_to_observed` then `peak_gated_blend` at the greedy NMS
+    peaks of the witness `T_wit` (solvers/nasdac.witness_peaks)."""
+    from quantized_spectrum_cartography_tpu.solvers.nasdac import (
+        witness_peaks)
+    C_pol = _polish_c_to_observed(S, C_anch, T_obs, W,
+                                  ridge_rel=ridge_rel,
+                                  nnls_iters=nnls_iters)
+    pts = witness_peaks(T_wit, num_peaks)
+    return peak_gated_blend(S, C_anch, C_pol, pts, gamma=gamma)
+
+
 def residual_peak_refine(
     T_hat: jnp.ndarray,
     T_obs: jnp.ndarray,

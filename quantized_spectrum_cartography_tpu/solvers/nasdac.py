@@ -120,6 +120,32 @@ def witnessed_swap_flag(
     return fire
 
 
+def witness_peaks(
+    T_wit: jnp.ndarray,
+    num_peaks: int,
+    radius: int = 4,
+) -> jnp.ndarray:
+    """Greedy spatial maxima of the witness's band-summed map with square
+    non-max suppression of `radius` — the same peak extraction the
+    completion-witness machinery uses (`lost_peak_flag`), returned as
+    coordinates so downstream amplitude gates can protect them.
+    T_wit [K, I, J]; returns [num_peaks, 2] int32 (y, x)."""
+    M = jnp.sum(T_wit, axis=0)
+    I, J = M.shape
+    yy = jnp.arange(I)[:, None]
+    xx = jnp.arange(J)[None, :]
+
+    def body(M, _):
+        idx = jnp.argmax(M)
+        y, x = idx // J, idx % J
+        M = jnp.where((jnp.abs(yy - y) <= radius)
+                      & (jnp.abs(xx - x) <= radius), -jnp.inf, M)
+        return M, jnp.stack([y, x]).astype(jnp.int32)
+
+    _, pts = jax.lax.scan(body, M, None, length=num_peaks)
+    return pts
+
+
 def anchor_weight(
     W: jnp.ndarray,
     mu0: float = 0.3,
@@ -150,6 +176,7 @@ def recover_nasdac(
     anchor_mu0: float = 0.3,
     anchor_rho0: float = 0.05,
     polish_ridge: float = 0.0,
+    polish_gamma: Optional[float] = None,
 ) -> RecoveryResult:
     """T_obs [K, I, J] sampled at per-location mask Om [I, J] (zeros
     elsewhere); ae_complete(mask, slf) -> completed slf [I, J].
@@ -185,16 +212,31 @@ def recover_nasdac(
     C_hat = nnls_rows(design, T_fit.reshape(K, -1) * Wf,
                       iters=nnls_iters).T                    # [R, K]
     if anchor_mu0 > 0.0 and polish_ridge > 0.0:
-        # observed-entry amplitude polish with a ridge toward the
-        # anchored C (see solvers/completion._polish_c_to_observed).
-        # Default OFF: measured at rho=1% the polish recovers SRE
-        # (2.77 -> 1.4 for DowJons) but trades back the detection win
-        # (miss 0.30 -> 0.44) — the anchored amplitudes ARE the
-        # detection-correct ones.
-        from quantized_spectrum_cartography_tpu.solvers.completion import (
-            _polish_c_to_observed)
-        C_hat = _polish_c_to_observed(S_hat, C_hat, T_obs, W[None],
-                                      ridge_rel=polish_ridge)
+        if polish_gamma is not None:
+            # peak-gated observed-entry polish (round 5): per-band blend
+            # toward the observed-fit C with a closed-form guarantee
+            # that no completion-witnessed peak renders below
+            # polish_gamma x its anchored value — recovers
+            # inversion-class SRE at low rho WITHOUT the unconstrained
+            # polish's detection give-back
+            # (solvers/completion.peak_gated_blend).
+            from quantized_spectrum_cartography_tpu.solvers.completion \
+                import gated_polish_c
+            C_hat = gated_polish_c(S_hat, C_hat, T_obs, W[None], T_comp,
+                                   num_peaks=R + 2,
+                                   ridge_rel=polish_ridge,
+                                   gamma=polish_gamma)
+        else:
+            # unconstrained observed-entry polish with a ridge toward
+            # the anchored C (solvers/completion._polish_c_to_observed).
+            # Measured at rho=1%: recovers SRE (2.77 -> 1.4 for
+            # DowJons) but trades back the detection win (miss
+            # 0.30 -> 0.44) — the anchored amplitudes ARE the
+            # detection-correct ones; prefer the gated variant above.
+            from quantized_spectrum_cartography_tpu.solvers.completion \
+                import _polish_c_to_observed
+            C_hat = _polish_c_to_observed(S_hat, C_hat, T_obs, W[None],
+                                          ridge_rel=polish_ridge)
 
     T_hat = get_tensor(S_hat, C_hat)
     zero = jnp.zeros((1,), jnp.float32)

@@ -178,3 +178,61 @@ def test_vae_head_plumbing():
                     method=VAE.decode)
     assert out.shape == (3, 51, 51, 1)
     assert float(jnp.min(out)) >= 0.0
+
+
+def test_witness_peaks_finds_maxima():
+    from quantized_spectrum_cartography_tpu.solvers.nasdac import (
+        witness_peaks)
+    I = J = 51
+    M = jnp.zeros((I, J)).at[10, 40].set(2.0).at[30, 5].set(1.0)
+    pts = witness_peaks(M[None], num_peaks=2, radius=4)
+    got = {(int(y), int(x)) for y, x in np.asarray(pts)}
+    assert got == {(10, 40), (30, 5)}
+
+
+def test_peak_gated_blend_guarantee_and_passthrough():
+    from quantized_spectrum_cartography_tpu.solvers.completion import (
+        peak_gated_blend)
+    I = J = 8
+    K = 3
+    # two emitters; protect the peak pixel of each
+    S = jnp.zeros((2, I, J)).at[0, 1, 1].set(1.0).at[1, 6, 6].set(1.0)
+    peaks = jnp.asarray([[1, 1], [6, 6]], jnp.int32)
+    C_anch = jnp.asarray([[1.0, 1.0, 1.0], [1.0, 1.0, 1.0]])
+    # polished: band 0 keeps peaks (scale 0.9 >= gamma), band 1
+    # extinguishes emitter 1, band 2 raises amplitudes
+    C_pol = jnp.asarray([[0.9, 0.5, 2.0], [0.9, 0.0, 2.0]])
+    C = peak_gated_blend(S, C_anch, C_pol, peaks, gamma=0.8)
+    # bands 0 and 2 pass through fully polished
+    np.testing.assert_allclose(np.asarray(C[:, 0]), [0.9, 0.9], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(C[:, 2]), [2.0, 2.0], atol=1e-6)
+    # band 1: the rendered value at every protected peak stays
+    # >= gamma * anchored value (the closed-form guarantee)
+    v_anch = np.einsum("rij,rk->kij", np.asarray(S), np.asarray(C_anch))
+    v_out = np.einsum("rij,rk->kij", np.asarray(S), np.asarray(C))
+    for (y, x) in [(1, 1), (6, 6)]:
+        assert v_out[1, y, x] >= 0.8 * v_anch[1, y, x] - 1e-6
+    # and band 1 still moved toward the polished values for emitter 0
+    assert float(C[0, 1]) < 1.0
+
+
+def test_gated_polish_c_end_to_end():
+    from quantized_spectrum_cartography_tpu.solvers.completion import (
+        gated_polish_c)
+    I = J = 8
+    K = 4
+    S = jnp.zeros((2, I, J)).at[0, :4, :].set(1.0).at[1, 6:, :].set(1.0)
+    C_true = jnp.asarray([[2.0, 1.0, 0.5, 0.1], [1.0, 2.0, 0.2, 0.4]])
+    T = get_tensor(S, C_true)
+    W = jnp.zeros((1, I, J)).at[0, :4, :].set(1.0)  # observe emitter 0 only
+    C_anchor = C_true * jnp.asarray([[0.5], [1.0]])
+    C = gated_polish_c(S, C_anchor, T, W, T_wit=T, num_peaks=2,
+                       ridge_rel=0.05, gamma=0.8)
+    # the witnessed emitter-1 peak keeps >= gamma of its anchored render
+    v_anch = np.einsum("rij,rk->kij", np.asarray(S), np.asarray(C_anchor))
+    v_out = np.einsum("rij,rk->kij", np.asarray(S), np.asarray(C))
+    assert (v_out[:, 7, 0] >= 0.8 * v_anch[:, 7, 0] - 1e-6).all()
+    # observed emitter-0 amplitudes still improve over the wrong anchor
+    err_anch = float(jnp.sum(jnp.abs(C_anchor[0] - C_true[0])))
+    err_out = float(jnp.sum(jnp.abs(C[0] - C_true[0])))
+    assert err_out < err_anch

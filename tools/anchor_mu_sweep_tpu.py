@@ -41,7 +41,7 @@ conds = condition_grid("fraction", (RHO,))
 results = {}
 for mu0 in MUS:
     methods = load_pretrained_methods(
-        only=("dowjons_gan", "nasdac"), anchor_mu0=mu0)
+        only=("dowjons", "nasdac"), anchor_mu0=mu0)
     h = BatchedHarness(methods, PhysicsConfig(), log_fn=None)
     out = h.run(conds, num_examples=NUM, seed=0)
     row = {}

@@ -43,7 +43,9 @@ RHOS = tuple(float(x) for x in sys.argv[2:]) or (0.01, 0.025, 0.05, 0.075,
                                                  0.10)
 
 methods = load_pretrained_methods(
-    only=("dowjons_gan", "dowjons_ae_latent", "nasdac"))
+    only=("dowjons", "dowjons_ae_latent", "nasdac"))  # "dowjons" == the
+# gan variant (standard_methods pops the aliased variant key, so the gan
+# path is reachable only under its canonical name)
 log("methods:", list(methods))
 
 harness = BatchedHarness(methods, PhysicsConfig(), log_fn=log)

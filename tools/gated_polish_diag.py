@@ -1,0 +1,79 @@
+"""A/B the peak-gated observed-entry C polish at low rho (round-5 task 1).
+
+The round-4 frontier: the anchored stack holds miss parity at rho=1%
+(0.221 vs published 0.2688) but at completion-class SRE (~2.2 vs ~0.9
+unanchored), and its false rate (0.080) runs 1.7x the completion
+baseline (0.046).  The unconstrained polish recovers SRE but trades
+miss 0.30 -> 0.44.  This tool measures the PEAK-GATED polish
+(solvers/completion.peak_gated_blend): per-band blend to the
+observed-fit C with a closed-form guarantee that witnessed peaks keep
+>= gamma of their anchored value.
+
+Sweeps (ridge_rel, gamma) against the ridge=0 baseline at rho in
+{1, 2.5}% (the anchor-active region), NUM examples each, reporting
+miss_prob / false_prob / SRE for nasdac + dowjons + deepcomp (the
+false-rate yardstick).
+
+Usage: python tools/gated_polish_diag.py [num_examples]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+t0 = time.time()
+
+
+def log(*a):
+    print(f"[{time.time()-t0:6.1f}s]", *a, flush=True)
+
+
+log("backend:", jax.default_backend())
+
+from quantized_spectrum_cartography_tpu.baselines import (
+    BatchedHarness, condition_grid, load_pretrained_methods)
+from quantized_spectrum_cartography_tpu.config import PhysicsConfig
+
+NUM = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+RHOS = (0.01, 0.025)
+VARIANTS = [
+    ("baseline_ridge0", dict(polish_ridge=0.0)),
+    ("gated_r0.1_g0.8", dict(polish_ridge=0.1, polish_gamma=0.8)),
+    ("gated_r0.1_g0.6", dict(polish_ridge=0.1, polish_gamma=0.6)),
+    ("gated_r0.3_g0.8", dict(polish_ridge=0.3, polish_gamma=0.8)),
+]
+
+conds = condition_grid("fraction", RHOS)
+results = {}
+for vname, kw in VARIANTS:
+    methods = load_pretrained_methods(
+        only=("deepcomp", "nasdac", "dowjons"), **kw)
+    h = BatchedHarness(methods, PhysicsConfig(), log_fn=None)
+    out = h.run(conds, num_examples=NUM, seed=0)
+    results[vname] = {}
+    for cond in conds:
+        lab = cond.label()
+        results[vname][lab] = {}
+        for m in methods:
+            st = out[lab][m]
+            results[vname][lab][m] = {
+                "sre": round(st["sre"], 4),
+                "miss_prob": round(st["miss_prob"], 4),
+                "false_prob": round(st["false_prob"], 4),
+                "miss_count": st["miss_count"],
+                "false_count": st["false_count"],
+            }
+            log(f"{vname:18s} {lab[:22]:22s} {m:9s} "
+                f"sre {st['sre']:7.4f}  miss {st['miss_prob']:.4f}  "
+                f"false {st['false_prob']:.4f}")
+
+with open("/root/repo/GATED_POLISH_DIAG.json", "w") as f:
+    json.dump({"num_examples": NUM, "rhos": list(RHOS),
+               "results": results,
+               "wall_seconds": round(time.time() - t0, 1)}, f, indent=1)
+log("wrote GATED_POLISH_DIAG.json")

@@ -48,8 +48,7 @@ scale = float(state.pop("scale"))
 ae_model = Autoencoder(activation="selu")
 ae_complete = make_ae_completer(ae_model, state, scale)
 
-methods = load_pretrained_methods(only=("deepcomp", "nasdac", "dowjons",
-                                        "dowjons_gan"))
+methods = load_pretrained_methods(only=("deepcomp", "nasdac", "dowjons"))
 h = BatchedHarness(methods, PhysicsConfig(), log_fn=log)
 cond = condition_grid("fraction", (RHO,))[0]
 I = h.physics.grid_size

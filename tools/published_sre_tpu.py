@@ -18,6 +18,7 @@ Usage: python tools/published_sre_tpu.py [num_examples]
 """
 
 import json
+import os
 import sys
 import time
 
@@ -62,6 +63,8 @@ CAVEATS = {
            "baselines/tps.py is a proper thin-plate-spline completer",
 }
 
+from quantized_spectrum_cartography_tpu.baselines import pretrained
+
 methods = load_pretrained_methods(
     only=("tps", "btd", "deepcomp", "nasdac", "dowjons"))
 harness = BatchedHarness(methods, PhysicsConfig(), log_fn=log)
@@ -74,14 +77,17 @@ for name, st in per_method.items():
     sres = np.sort(np.asarray(st["sre_all"]))
     cap = 3.0 if name == "btd" else None
     valid = sres[sres < cap] if cap else sres
+    # symmetric 12.5%-per-tail trim (a conventional trimmed mean; the
+    # round-4 one-sided trim dropped only the k largest values, which
+    # biases the statistic low — ADVICE.md round 4)
     k = max(1, int(round(0.125 * valid.size)))
-    trimmed = float(valid[:-k].mean()) if valid.size > k else float(
+    trimmed = float(valid[k:-k].mean()) if valid.size > 2 * k else float(
         valid.mean())
     row = {
         "published_sre": pub,
         "sre_mean": round(float(valid.mean()), 4),
         "sre_median": round(float(np.median(valid)), 4),
-        "sre_trimmed_mean_12.5pct": round(trimmed, 4),
+        "sre_trimmed_mean_12.5pct_each_tail": round(trimmed, 4),
         "valid": int(valid.size),
         "nae_s": (round(st["nae_s"], 4) if st["nae_s"] == st["nae_s"]
                   else None),
@@ -97,7 +103,7 @@ for name, st in per_method.items():
     }
     table[name] = row
     log(f"{name:9s} mean {row['sre_mean']:.4f} med {row['sre_median']:.4f} "
-        f"trim {row['sre_trimmed_mean_12.5pct']:.4f} "
+        f"trim {row['sre_trimmed_mean_12.5pct_each_tail']:.4f} "
         f"(published {pub})  valid {row['valid']}/{NUM}")
 
 with open("/root/repo/PUBLISHED_SRE.json", "w") as f:
@@ -110,9 +116,15 @@ with open("/root/repo/PUBLISHED_SRE.json", "w") as f:
                     "trimmed means are the fairer comparison and all "
                     "three statistics are reported with the full sorted "
                     "per-example SREs",
+        # provenance derived from the registry's own constants so the
+        # artifact always names the checkpoints that actually ran
+        # (ADVICE.md round 4: a hardcoded string here went stale when
+        # the default prior moved to vae_peak_z256)
         "config": {
-            "ae_checkpoint": "checkpoints/ae_completion/final",
-            "vae_checkpoint": "checkpoints/vae_best/final",
+            "ae_checkpoint": os.path.relpath(pretrained.AE_CKPT,
+                                             "/root/repo"),
+            "vae_checkpoint": os.path.relpath(pretrained.VAE_CKPT,
+                                              "/root/repo"),
             "dowjons_variant": "gan", "dowjons_iters": 30,
             "dowjons_restarts": 4, "anchor_mu0": 0.3,
             "seed": 0,
