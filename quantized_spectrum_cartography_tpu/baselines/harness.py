@@ -557,8 +557,10 @@ def standard_methods(
     anchor_mu0: float = 0.3,
     peak_refine: int = 2,
     backstop_frac: float = 0.5,
-    polish_ridge: float = 0.0,
+    polish_ridge: float = 0.1,
     polish_gamma: float = 0.8,
+    polish_peaks_extra: int = 2,
+    polish_floor: float = 0.0,
 ) -> Dict[str, HarnessFn]:
     """Method registry.  `gen_apply` (deep generative prior) enables
     DowJons; `ae_complete(mask, map) -> map` (a trained completion AE,
@@ -622,7 +624,9 @@ def standard_methods(
                                   num_emitters=R, anchor_mu0=anchor_mu0,
                                   anchor_rho0=1.0,
                                   polish_ridge=polish_ridge,
-                                  polish_gamma=polish_gamma)
+                                  polish_gamma=polish_gamma,
+                                  polish_peaks_extra=polish_peaks_extra,
+                                  polish_floor=polish_floor)
             T_comp = jax.vmap(lambda band: ae_complete(W, band))(hp.T_obs)
             flag = witnessed_swap_flag(plain.T_hat, anch.T_hat, T_comp,
                                        hp.T_obs, W, R + 2)
@@ -631,8 +635,14 @@ def standard_methods(
             if peak_refine:
                 from quantized_spectrum_cartography_tpu.solvers.completion \
                     import residual_peak_refine
-                T_hat = residual_peak_refine(T_hat, hp.T_obs, W,
-                                             num_patches=peak_refine)
+                # patch budget scales with R (round-5 VERDICT item 5:
+                # 2 patches were tuned at R=2; at R=13 the same budget
+                # cannot cover the potentially-underfit emitters).  The
+                # patches stay inert (closed-form amplitudes ~0) where
+                # the model already fits, so extra budget is safe.
+                T_hat = residual_peak_refine(
+                    T_hat, hp.T_obs, W,
+                    num_patches=max(peak_refine, R // 2))
             return T_hat, pick(anch.S, plain.S), pick(anch.C, plain.C)
 
         def nasdac_fn(key, hp):
@@ -695,8 +705,9 @@ def standard_methods(
             if peak_refine:
                 from quantized_spectrum_cartography_tpu.solvers.completion \
                     import residual_peak_refine
-                T_hat = residual_peak_refine(T_hat, hp.T_obs, W,
-                                             num_patches=peak_refine)
+                T_hat = residual_peak_refine(
+                    T_hat, hp.T_obs, W,
+                    num_patches=max(peak_refine, R // 2))
             return {"T_hat": T_hat, "S_hat": plain.S, "C_hat": plain.C}
 
         methods["dowjons_gan"] = dowjons_gan_fn
@@ -734,8 +745,9 @@ def standard_methods(
             if peak_refine:
                 from quantized_spectrum_cartography_tpu.solvers.completion \
                     import residual_peak_refine
-                T_hat = residual_peak_refine(T_hat, hp.T_obs, W,
-                                             num_patches=peak_refine)
+                T_hat = residual_peak_refine(
+                    T_hat, hp.T_obs, W,
+                    num_patches=max(peak_refine, R // 2))
             return {"T_hat": T_hat, "S_hat": plain.S, "C_hat": plain.C}
 
         methods["dowjons_ae_latent"] = dowjons_ae_latent_fn

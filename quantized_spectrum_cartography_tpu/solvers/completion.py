@@ -69,6 +69,7 @@ def peak_gated_blend(
     C_pol: jnp.ndarray,
     peaks_yx: jnp.ndarray,
     gamma: float = 0.8,
+    protect_floor: float = 0.0,
 ) -> jnp.ndarray:
     """Per-band blend of the anchored and observed-polished C factors
     with a closed-form peak-protection guarantee (the round-4 VERDICT's
@@ -94,11 +95,21 @@ def peak_gated_blend(
 
     S [R, I, J]; C_* [R, K]; peaks_yx [P, 2] int (y, x) witness peaks
     (solvers/nasdac.witness_peaks).  Returns blended C [R, K].
+
+    `protect_floor`: a (band, peak) pair is only protected when the
+    anchored render exceeds this absolute level.  Hypothesis was that
+    renders near the 0.01 event threshold save no misses but keep false
+    events; MEASUREMENT REFUTED IT (GATED_POLISH_DIAG3.json): small
+    anchored renders protect the numerous small-ref peak events (ref in
+    (0.01, 4*v_anch)), so a 0.02 floor traded miss 0.238 -> 0.270 for
+    false 0.054 -> 0.042 at rho=1% — strictly dominated by just lowering
+    gamma (gamma=0.6 reaches miss 0.266 / false 0.040 at BETTER SRE).
+    Default 0 (off); kept as an experiment knob with this record.
     """
     s_at = S[:, peaks_yx[:, 0], peaks_yx[:, 1]]        # [R, P]
     v_anch = jnp.einsum("rp,rk->kp", s_at, C_anch)     # [K, P]
     v_pol = jnp.einsum("rp,rk->kp", s_at, C_pol)
-    need = v_pol < gamma * v_anch
+    need = (v_pol < gamma * v_anch) & (v_anch > protect_floor)
     a = jnp.where(
         need,
         (1.0 - gamma) * v_anch / jnp.maximum(v_anch - v_pol, 1e-12),
@@ -116,6 +127,7 @@ def gated_polish_c(
     num_peaks: int,
     ridge_rel: float = 0.1,
     gamma: float = 0.8,
+    protect_floor: float = 0.0,
     nnls_iters: int = 200,
 ) -> jnp.ndarray:
     """Observed-entry C polish gated by completion-witnessed peaks:
@@ -127,7 +139,8 @@ def gated_polish_c(
                                   ridge_rel=ridge_rel,
                                   nnls_iters=nnls_iters)
     pts = witness_peaks(T_wit, num_peaks)
-    return peak_gated_blend(S, C_anch, C_pol, pts, gamma=gamma)
+    return peak_gated_blend(S, C_anch, C_pol, pts, gamma=gamma,
+                            protect_floor=protect_floor)
 
 
 def residual_peak_refine(

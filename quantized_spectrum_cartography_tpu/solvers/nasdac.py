@@ -177,6 +177,8 @@ def recover_nasdac(
     anchor_rho0: float = 0.05,
     polish_ridge: float = 0.0,
     polish_gamma: Optional[float] = None,
+    polish_peaks_extra: int = 2,
+    polish_floor: float = 0.0,
 ) -> RecoveryResult:
     """T_obs [K, I, J] sampled at per-location mask Om [I, J] (zeros
     elsewhere); ae_complete(mask, slf) -> completed slf [I, J].
@@ -223,9 +225,10 @@ def recover_nasdac(
             from quantized_spectrum_cartography_tpu.solvers.completion \
                 import gated_polish_c
             C_hat = gated_polish_c(S_hat, C_hat, T_obs, W[None], T_comp,
-                                   num_peaks=R + 2,
+                                   num_peaks=R + polish_peaks_extra,
                                    ridge_rel=polish_ridge,
-                                   gamma=polish_gamma)
+                                   gamma=polish_gamma,
+                                   protect_floor=polish_floor)
         else:
             # unconstrained observed-entry polish with a ridge toward
             # the anchored C (solvers/completion._polish_c_to_observed).

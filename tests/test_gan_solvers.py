@@ -147,7 +147,7 @@ def test_dip_tensor_recovery_mechanics():
     T_true = jnp.einsum("rij,rk->kij", S_true, C_true)
     mean = 0.01
     y01 = (T_true > mean).astype(jnp.float32)
-    S_hat, C_hat, losses, _ = recover_dip_tensor(
+    S_hat, C_hat, losses, _, aux = recover_dip_tensor(
         key, y01, mean=mean, std=0.05, num_emitters=2, steps=30,
         T_true=T_true)
     assert S_hat.shape == (2, I, I) and C_hat.shape == (2, K)
@@ -155,3 +155,6 @@ def test_dip_tensor_recovery_mechanics():
     assert np.all(np.isfinite(losses))
     assert losses[-1] < losses[0]
     assert np.all(np.asarray(C_hat) >= 0.0)
+    # the held-out restart-selection score is finite and populated
+    assert np.isfinite(float(aux["holdout_best"]))
+    assert np.isfinite(float(aux["final_fit"]))

@@ -3,9 +3,19 @@ all five published methods, through the batched harness.
 
 25 conditions (fraction / R / shadow / Xc / SNR axes, 5 values each — the
 base condition f=0.05, R=2, sigma=5, Xc=50, noiseless appears as the
-middle of every axis), 16 vmapped Monte-Carlo examples per condition.
-The base-condition row doubles as the upgraded published-SRE table
-(>= 10 examples, VERDICT task 10).
+middle of every axis), NUM vmapped Monte-Carlo examples per condition
+(default 32 — round-5 VERDICT item 8 upgraded the grid from the
+smoke-level 16 with no spread).
+
+Round-5 additions (VERDICT items 5 + 8):
+- per-condition SRE dispersion (std + the full sorted per-example list);
+- a stack-vs-plain delta for nasdac/dowjons at EVERY condition: the
+  "plain" registry disables the round-4/5 detection stack (anchor,
+  witness swap, no-extinguish backstop, residual peak patches, gated
+  polish), so the delta certifies the stack never regresses outside the
+  low-rho regime it was tuned in — in particular across the R axis,
+  where the witness peak count (R+2) and patch budget (max(2, R//2))
+  now scale with R.
 
 Writes CONDITIONS.json incrementally (one dump per condition) with
 per-condition execute times split from compile time: the batched harness
@@ -14,6 +24,7 @@ R, and one TPS program per observed-count N — everything else is reuse.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -35,7 +46,7 @@ from quantized_spectrum_cartography_tpu.baselines import (
     BatchedHarness, condition_grid, load_pretrained_methods)
 from quantized_spectrum_cartography_tpu.config import PhysicsConfig
 
-NUM_EXAMPLES = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+NUM_EXAMPLES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 OUT = "/root/repo/CONDITIONS.json"
 
 # published single-example SRE anchors for the base condition
@@ -43,13 +54,62 @@ OUT = "/root/repo/CONDITIONS.json"
 PUBLISHED_BASE = {"dowjons": 0.3163, "nasdac": 1.1751, "deepcomp": 0.4201,
                   "btd": 1.2288, "tps": 1.9181}
 
-methods = load_pretrained_methods()
+POLISH = dict(
+    polish_ridge=float(os.environ.get("QSC_POLISH_RIDGE", "0.1")),
+    polish_gamma=float(os.environ.get("QSC_POLISH_GAMMA", "0.8")),
+    polish_peaks_extra=int(os.environ.get("QSC_POLISH_PEAKS", "2")),
+)
+
+methods = load_pretrained_methods(**POLISH)
 log("methods:", list(methods))
 harness = BatchedHarness(methods, PhysicsConfig(), log_fn=log)
+
+# the PLAIN registry: detection stack fully off (anchor, witness swap,
+# backstop, patches, polish) — nasdac/dowjons as bare SPA+AE completion
+# and bare SPA-seeded joint inversion
+plain_methods = load_pretrained_methods(
+    only=("nasdac", "dowjons"), anchor_mu0=0.0, peak_refine=0,
+    backstop_frac=0.0, polish_ridge=0.0)
+plain_harness = BatchedHarness(
+    {f"{k}_plain": v for k, v in plain_methods.items()},
+    PhysicsConfig(), log_fn=log)
 
 axes = ("fraction", "num_emitters", "shadow_sigma", "xc", "snr")
 results = {}
 timings = {}
+
+
+def add_spread(stats):
+    for m, st in stats.items():
+        arr = np.asarray(st.get("sre_all", []), dtype=np.float64)
+        if arr.size:
+            st["sre_std"] = round(float(arr.std()), 4)
+            st["sre_median"] = round(float(np.median(arr)), 4)
+    return stats
+
+
+def dump():
+    with open(OUT, "w") as f:
+        json.dump({
+            "num_examples": NUM_EXAMPLES,
+            "axes": {a: list(condition_grid(a)[i].label()
+                             for i in range(5)) for a in axes},
+            "polish_config": POLISH,
+            "results": results,
+            "per_condition_wall_seconds": timings,
+            "total_wall_seconds": time.time() - t0,
+            "published_base_sre": PUBLISHED_BASE,
+            "notes": "base condition (f=0.05 R=2 sig=5.0 Xc=50.0 "
+                     "snr=None) is the published-figure config; "
+                     "*_plain rows run nasdac/dowjons with the "
+                     "detection stack fully off; stack_delta = stack "
+                     "minus plain (negative SRE delta / negative miss "
+                     "delta = stack better); per-condition wall "
+                     "includes first-use compiles (~60-150s/program "
+                     "through the axon tunnel).",
+        }, f, indent=1)
+
+
 for axis in axes:
     conds = condition_grid(axis)
     for cond in conds:
@@ -57,27 +117,32 @@ for axis in axes:
         if label in results:        # base condition repeats across axes
             continue
         t_c = time.time()
-        out = harness.run((cond,), num_examples=NUM_EXAMPLES,
-                          seed=0)
-        results[label] = out[label]
+        out = harness.run((cond,), num_examples=NUM_EXAMPLES, seed=0)
+        stats = add_spread(out[label])
+        pout = plain_harness.run((cond,), num_examples=NUM_EXAMPLES,
+                                 seed=0)
+        stats.update(add_spread(pout[label]))
+        # stack-vs-plain delta columns (VERDICT item 5)
+        for m in ("nasdac", "dowjons"):
+            pk = f"{m}_plain"
+            if m in stats and pk in stats:
+                stats[f"{m}_stack_delta"] = {
+                    "sre": round(stats[m]["sre"] - stats[pk]["sre"], 4),
+                    "miss_prob": round(stats[m]["miss_prob"]
+                                       - stats[pk]["miss_prob"], 4),
+                    "false_prob": round(stats[m]["false_prob"]
+                                        - stats[pk]["false_prob"], 4),
+                }
+        results[label] = stats
         timings[label] = time.time() - t_c
         log(f"condition done in {timings[label]:.1f}s: {label}")
-        with open(OUT, "w") as f:
-            json.dump({
-                "num_examples": NUM_EXAMPLES,
-                "axes": {a: list(condition_grid(a)[i].label()
-                                 for i in range(5)) for a in axes},
-                "results": results,
-                "per_condition_wall_seconds": timings,
-                "total_wall_seconds": time.time() - t0,
-                "published_base_sre": PUBLISHED_BASE,
-                "notes": "base condition (f=0.05 R=2 sig=5.0 Xc=50.0 "
-                         "snr=None) is the published-figure config; "
-                         "per-condition wall includes first-use compiles "
-                         "(~60-150s/program through the axon tunnel); "
-                         "repeat conditions reuse programs and run in "
-                         "seconds.",
-            }, f, indent=1)
+        for m in ("nasdac", "dowjons"):
+            if f"{m}_stack_delta" in stats:
+                d = stats[f"{m}_stack_delta"]
+                log(f"  {m} stack-vs-plain: dSRE {d['sre']:+.4f} "
+                    f"dmiss {d['miss_prob']:+.4f} "
+                    f"dfalse {d['false_prob']:+.4f}")
+        dump()
 
 # summary: base condition vs published
 base_label = "f=0.05 R=2 sig=5.0 Xc=50.0 snr=None"
@@ -85,10 +150,26 @@ if base_label in results:
     log("=== base condition (published-figure config) ===")
     for m, pub in PUBLISHED_BASE.items():
         st = results[base_label][m]
-        log(f"{m:9s} SRE {st['sre']:.4f} (published {pub})  "
+        log(f"{m:9s} SRE {st['sre']:.4f}±{st.get('sre_std', 0):.4f} "
+            f"(published {pub})  "
             f"nae_s {st['nae_s']:.3f} nae_c {st['nae_c']:.3f} "
             f"miss {st['miss_prob']:.4f} false {st['false_prob']:.4f} "
             f"valid {st['valid']}")
+
+# R-axis regression assertion (VERDICT item 5): the stack must not
+# regress vs plain at any R (allow noise-level slack)
+viol = []
+for cond in condition_grid("num_emitters"):
+    st = results.get(cond.label(), {})
+    for m in ("nasdac", "dowjons"):
+        d = st.get(f"{m}_stack_delta")
+        if d and (d["miss_prob"] > 0.02 or d["sre"] > 0.05):
+            viol.append((cond.label(), m, d))
+if viol:
+    log("R-AXIS REGRESSION CHECK: FAIL", viol)
+else:
+    log("R-axis regression check: stack never worse than plain beyond "
+        "noise slack (dmiss <= 0.02, dSRE <= 0.05) — PASS")
 total = time.time() - t0
 exec_time = sum(sorted(timings.values())[:-8])  # drop the 8 compile-heavy
 log(f"grid complete: {len(results)} conditions, {total:.0f}s total; "

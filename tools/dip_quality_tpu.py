@@ -9,14 +9,18 @@ MEAN=0.0005 STD=0.008 — tools/fixture_parity.py), reported against the
 free-S low-rank solver's 0.79 protocol floor (RESULTS.md).
 
 Protocol hardening (round 4):
-- 5 dither seeds x 3 solver restarts; per seed the restart with the best
-  final training objective is selected (no ground truth in the rule),
-  matching the multi-restart selection every other nonconvex solver in
-  this framework uses;
+- 5 dither seeds x 3 solver restarts;
 - the reported NMSE is computed from the RETURNED factors (the
   best-validation early-stopped iterate), not from the trajectory's last
   entry — the two differ because early stopping restores an earlier
   iterate.
+
+Round 5 (VERDICT task 3): restart selection switched from final
+training fit — measured NON-discriminative (0.672±0.001 across all
+restarts) — to the HELD-OUT-entry fit (`aux["holdout_best"]`, the
+EMA-smoothed validation NLL at the returned iterate), and the stopping
+rule itself now minimizes the smoothed validation curve rather than its
+noisy pointwise values.  Both rules remain ground-truth-free.
 """
 
 import json
@@ -58,33 +62,43 @@ for seed in range(SEEDS):
     T_obs = dither_probit(key, prob.T_true - MEAN, STD)
     cands = []
     for rs in range(RESTARTS):
-        S, C, losses, nm = recover_dip_tensor(
+        S, C, losses, nm, aux = recover_dip_tensor(
             jax.random.fold_in(key, 7 + 13 * rs), T_obs, mean=MEAN,
             std=STD, num_emitters=R, steps=STEPS, T_true=prob.T_true,
             l2_c=0.03)
         returned = float(nmse(get_tensor(S, C), prob.T_true))
-        fit = float(losses[-1])
+        fit = float(aux["final_fit"])
         cands.append({"restart": rs, "nmse_returned": returned,
                       "final_fit": fit,
+                      "holdout_best": float(aux["holdout_best"]),
                       "traj_last": float(nm[-1]),
                       "traj_best": float(np.min(np.asarray(nm)))})
         log(f"seed {seed} restart {rs}: returned NMSE {returned:.4f} "
             f"(traj last {cands[-1]['traj_last']:.4f} best "
-            f"{cands[-1]['traj_best']:.4f}, fit {fit:.1f})")
-    pick = min(cands, key=lambda c: c["final_fit"])
+            f"{cands[-1]['traj_best']:.4f}, fit {fit:.1f}, "
+            f"holdout {cands[-1]['holdout_best']:.1f})")
+    pick = min(cands, key=lambda c: c["holdout_best"])
+    pick_by_fit = min(cands, key=lambda c: c["final_fit"])
     per_seed.append({"seed": seed, "picked_restart": pick["restart"],
-                     "nmse": pick["nmse_returned"], "restarts": cands})
+                     "nmse": pick["nmse_returned"],
+                     "nmse_if_picked_by_final_fit":
+                         pick_by_fit["nmse_returned"],
+                     "restarts": cands})
     log(f"seed {seed}: picked restart {pick['restart']} "
-        f"NMSE {pick['nmse_returned']:.4f}")
+        f"NMSE {pick['nmse_returned']:.4f} (final-fit rule would give "
+        f"{pick_by_fit['nmse_returned']:.4f})")
 
 vals = np.asarray([s["nmse"] for s in per_seed])
 out = {
     "protocol": "onebitdata1.mat, probit dither mean=0.0005 std=0.008, "
                 f"{SEEDS} seeds x {RESTARTS} restarts, {STEPS} Adam "
-                "steps, best-final-fit restart per seed, NMSE from "
-                "returned (early-stopped) factors",
+                "steps, best HELD-OUT-fit restart per seed (EMA-"
+                "smoothed validation NLL; the round-4 final-training-"
+                "fit rule was measured non-discriminative), NMSE from "
+                "returned (smoothed-validation early-stopped) factors",
     "config": {"steps": STEPS, "lr": 0.001, "z_dim": 256,
                "holdout_frac": 0.05, "l2_c": 0.03,
+               "val_ema_decay": 0.9,
                "seeds": SEEDS, "restarts": RESTARTS},
     "per_seed": per_seed,
     "dip_nmse_per_seed": [round(float(v), 4) for v in vals],

@@ -1,0 +1,210 @@
+"""The last uncompared BASELINE.md figure anchors (round-5 task 2).
+
+The reference's rho=5% figure hardcodes single-example titles
+(`backup/algorithms/joint_opt_ae.m:721-826`):
+
+  estimated-map SRE:  Nasdac 0.0840 (:721), DowJons 0.0850 (:748)
+  NAE_S per emitter:  Nasdac 0.2230/0.2212 (:730,:739),
+                      DowJons 0.2452/0.2089 (:758,:767)
+  NAE_C per emitter:  Nasdac 0.0055/0.5542 (:801,:810),
+                      DowJons 0.010/0.0510 (:817,:826)
+
+These are SINGLE-example figure captions (the MATLAB computes sre1/naesN
+into locals but the titles are hardcoded strings), while the same file's
+other figure titles the same methods at 0.3163/1.1751 (:605,:616) —
+a 4x spread between the reference's own two examples at the nominal
+condition.  The honest comparison is therefore distributional: this tool
+runs the base condition (f=0.05, R=2, sigma=5, Xc=50, sinc, noiseless)
+over NUM Monte-Carlo examples, Hungarian-matches factors
+(cpderr role, joint_opt_ae.m:213-246), and reports the full per-example
+map-SRE and per-emitter NAE_S/NAE_C distributions (mean / median / best)
+with a verdict against every anchor.
+
+Extra diagnostic for the DowJons NAE_C question (round-4 VERDICT: ours
+0.094 vs published 0.010/0.051): an oracle-S C refit — NNLS of the
+observed entries on the TRUE S design — separates C-fit noise at 130
+samples from S-error-induced C distortion.
+
+Usage: python tools/figure_anchors_tpu.py [num_examples]
+Writes FIGURE_ANCHORS.json.
+"""
+
+import json
+import os
+import sys
+import time
+import zlib
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+t0 = time.time()
+
+
+def log(*a):
+    print(f"[{time.time()-t0:6.1f}s]", *a, flush=True)
+
+
+log("backend:", jax.default_backend())
+
+from quantized_spectrum_cartography_tpu.baselines import (
+    BatchedHarness, condition_grid, load_pretrained_methods, pretrained)
+from quantized_spectrum_cartography_tpu.baselines.harness import (
+    best_permutation)
+from quantized_spectrum_cartography_tpu.baselines.nnls import nnls_rows
+from quantized_spectrum_cartography_tpu.config import PhysicsConfig
+from quantized_spectrum_cartography_tpu.physics.shadowing import (
+    correlation_cholesky)
+
+NUM = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+
+ANCHORS = {
+    "nasdac": {"sre_map": 0.0840, "nae_s": [0.2230, 0.2212],
+               "nae_c": [0.0055, 0.5542]},
+    "dowjons": {"sre_map": 0.0850, "nae_s": [0.2452, 0.2089],
+                "nae_c": [0.010, 0.0510]},
+}
+
+methods = load_pretrained_methods(only=("nasdac", "dowjons"))
+h = BatchedHarness(methods, PhysicsConfig(), log_fn=log)
+cond = condition_grid()[0]
+I = h.physics.grid_size
+num = int(round(cond.fraction * I * I))
+genf = h._problem_gen(cond.num_emitters)
+chol = jnp.asarray(correlation_cholesky(I, float(cond.xc)))
+keys = jax.random.split(jax.random.PRNGKey(0), NUM)
+arrs = dict(genf(keys, chol, jnp.float32(cond.shadow_sigma),
+                 jnp.float32(0.0), jnp.int32(num)))
+S_true = np.asarray(arrs["S_true"])          # [B, R, I, J]
+C_true = np.asarray(arrs["C_true"])          # [B, R, K]
+T_true = np.asarray(arrs["T_true"])
+Om = np.asarray(arrs["Om"])
+T_obs = np.asarray(arrs["T_noisy"]) * Om[:, None].astype(np.float32)
+
+
+def nae_np(a, b):
+    a = a / max(np.sum(np.abs(a)), 1e-12)
+    b = b / max(np.sum(np.abs(b)), 1e-12)
+    return float(np.sum(np.abs(a - b)))
+
+
+def stats(v):
+    v = np.asarray(v, dtype=np.float64)
+    return {"mean": round(float(v.mean()), 4),
+            "median": round(float(np.median(v)), 4),
+            "best": round(float(v.min()), 4),
+            "p90": round(float(np.percentile(v, 90)), 4),
+            "n": int(v.size)}
+
+
+out = {}
+for name, fn in methods.items():
+    mkeys = jax.vmap(lambda k: jax.random.fold_in(
+        k, zlib.crc32(name.encode()) % (2 ** 31)))(keys)
+    marrs = {k: v for k, v in arrs.items() if k != "sample_idx"}
+    res = h._method_batched(name, fn)(mkeys, marrs)
+    T_hat = np.asarray(res["T_hat"])
+    S_hat = np.asarray(res["S_hat"])
+    C_hat = np.asarray(res["C_hat"])
+    sres, naes_s, naes_c = [], [], []
+    for b in range(NUM):
+        sres.append(float(np.sum((T_hat[b] - T_true[b]) ** 2)
+                          / np.sum(T_true[b] ** 2)))
+        perm = np.asarray(best_permutation(
+            jnp.asarray(S_hat[b]), jnp.asarray(S_true[b])))
+        for r in range(S_true.shape[1]):
+            naes_s.append(nae_np(S_true[b][r], S_hat[b][perm][r]))
+            naes_c.append(nae_np(C_true[b][r], C_hat[b][perm][r]))
+    anch = ANCHORS[name]
+    pub_s, pub_c = anch["nae_s"], anch["nae_c"]
+    row = {
+        "published_single_example": anch,
+        "sre_map": stats(sres),
+        "nae_s_per_emitter": stats(naes_s),
+        "nae_c_per_emitter": stats(naes_c),
+        "sre_map_sorted": [round(v, 4) for v in sorted(sres)],
+        "nae_c_sorted": [round(v, 4) for v in sorted(naes_c)],
+        "verdicts": {
+            "sre_vs_anchor": {
+                "anchor": anch["sre_map"],
+                "median_beats": bool(np.median(sres) < anch["sre_map"]),
+                "best_beats": bool(min(sres) < anch["sre_map"]),
+                "frac_examples_below_anchor": round(float(np.mean(
+                    np.asarray(sres) < anch["sre_map"])), 3),
+            },
+            "nae_s_vs_anchors": {
+                "anchors": pub_s,
+                "median_vs_published_mean": [
+                    round(float(np.median(naes_s)), 4),
+                    round(float(np.mean(pub_s)), 4)],
+                "median_beats_published_mean": bool(
+                    np.median(naes_s) < np.mean(pub_s)),
+            },
+            "nae_c_vs_anchors": {
+                "anchors": pub_c,
+                "median_vs_published_mean": [
+                    round(float(np.median(naes_c)), 4),
+                    round(float(np.mean(pub_c)), 4)],
+                "median_beats_published_mean": bool(
+                    np.median(naes_c) < np.mean(pub_c)),
+                "frac_emitters_below_larger_anchor": round(float(np.mean(
+                    np.asarray(naes_c) < max(pub_c))), 3),
+            },
+        },
+    }
+    out[name] = row
+    log(f"{name:8s} SRE med {row['sre_map']['median']:.4f} best "
+        f"{row['sre_map']['best']:.4f} (anchor {anch['sre_map']}); "
+        f"NAE_S med {row['nae_s_per_emitter']['median']:.4f} "
+        f"(anchors {pub_s}); NAE_C med "
+        f"{row['nae_c_per_emitter']['median']:.4f} (anchors {pub_c})")
+
+# ---- oracle-S C-fit diagnostic (DowJons NAE_C decomposition) ----------
+# NNLS of the observed entries on the TRUE S design: any residual NAE_C
+# here is pure C-fit noise at ~130 samples; the excess our methods show
+# above it is S-error-induced distortion.
+def oracle_c(b):
+    W = Om[b].astype(np.float32).reshape(1, -1)
+    design = jnp.asarray((S_true[b].reshape(2, -1) * W).T)
+    targ = jnp.asarray(T_obs[b].reshape(T_obs.shape[1], -1) * W)
+    return np.asarray(nnls_rows(design, targ, iters=200).T)
+
+
+oracle_naec = []
+for b in range(NUM):
+    C_or = oracle_c(b)
+    for r in range(2):
+        oracle_naec.append(nae_np(C_true[b][r], C_or[r]))
+out["oracle_s_cfit"] = {
+    "what": "NNLS C refit on the TRUE S design over observed entries "
+            "only — the C-fit noise floor at ~130 samples",
+    "nae_c_per_emitter": stats(oracle_naec),
+}
+log("oracle-S C fit NAE_C:", out["oracle_s_cfit"]["nae_c_per_emitter"])
+
+with open("/root/repo/FIGURE_ANCHORS.json", "w") as f:
+    json.dump({
+        "protocol": "base condition f=0.05 R=2 sigma=5 Xc=50 noiseless, "
+                    f"{NUM} vmapped Monte-Carlo examples (seed 0); "
+                    "Hungarian factor matching; per-factor NAE "
+                    "(joint_opt_ae.m NAE with R=1) exactly as the "
+                    "figure computes it",
+        "anchor_provenance": "SINGLE-example hardcoded figure titles "
+                             "(joint_opt_ae.m:721-826); same file titles "
+                             "the same methods at 0.3163/1.1751 "
+                             "(:605,:616) — 4x spread between the "
+                             "reference's own two examples",
+        "config": {
+            "ae_checkpoint": os.path.relpath(pretrained.AE_CKPT,
+                                             "/root/repo"),
+            "vae_checkpoint": os.path.relpath(pretrained.VAE_CKPT,
+                                              "/root/repo"),
+        },
+        "num_examples": NUM,
+        "methods": out,
+        "wall_seconds": round(time.time() - t0, 1),
+    }, f, indent=1)
+log("wrote FIGURE_ANCHORS.json")

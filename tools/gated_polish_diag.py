@@ -47,6 +47,37 @@ VARIANTS = [
     ("gated_r0.1_g0.6", dict(polish_ridge=0.1, polish_gamma=0.6)),
     ("gated_r0.3_g0.8", dict(polish_ridge=0.3, polish_gamma=0.8)),
 ]
+if len(sys.argv) > 2 and sys.argv[2] == "refine":
+    # round-2 refinement around the measured frontier: ridge 0.1 won;
+    # gamma 0.8 held miss with margin, 0.6 cut false below the
+    # completion baseline but ate the miss margin; sweep the midpoints
+    # and the witness-coverage axis (protect R+4 peaks: misses the gate
+    # gives back may be true peaks the 4-peak witness list skipped)
+    VARIANTS = [
+        ("gated_r0.1_g0.7_p2", dict(polish_ridge=0.1, polish_gamma=0.7)),
+        ("gated_r0.1_g0.85_p2", dict(polish_ridge=0.1,
+                                     polish_gamma=0.85)),
+        ("gated_r0.1_g0.8_p4", dict(polish_ridge=0.1, polish_gamma=0.8,
+                                    polish_peaks_extra=4)),
+        ("gated_r0.1_g0.7_p4", dict(polish_ridge=0.1, polish_gamma=0.7,
+                                    polish_peaks_extra=4)),
+    ]
+if len(sys.argv) > 2 and sys.argv[2] == "floor":
+    # round-3 refinement: the protection floor (peak_gated_blend
+    # protect_floor — drop protection of (band, peak) pairs whose
+    # anchored render is near the 0.01 event threshold; they save ~no
+    # misses but each kept render > 0.01 at an inactive band IS a false
+    # event).  Earlier sweeps ran floor=0 semantics.
+    VARIANTS = [
+        ("g0.8_floor0.02", dict(polish_ridge=0.1, polish_gamma=0.8,
+                                polish_floor=0.02)),
+        ("g0.85_floor0.02", dict(polish_ridge=0.1, polish_gamma=0.85,
+                                 polish_floor=0.02)),
+        ("g0.8_floor0.04", dict(polish_ridge=0.1, polish_gamma=0.8,
+                                polish_floor=0.04)),
+        ("g0.9_floor0.03", dict(polish_ridge=0.1, polish_gamma=0.9,
+                                polish_floor=0.03)),
+    ]
 
 conds = condition_grid("fraction", RHOS)
 results = {}
@@ -72,8 +103,11 @@ for vname, kw in VARIANTS:
                 f"sre {st['sre']:7.4f}  miss {st['miss_prob']:.4f}  "
                 f"false {st['false_prob']:.4f}")
 
-with open("/root/repo/GATED_POLISH_DIAG.json", "w") as f:
+_suffix = {"refine": "2", "floor": "3"}.get(
+    sys.argv[2] if len(sys.argv) > 2 else "", "")
+OUT = f"/root/repo/GATED_POLISH_DIAG{_suffix}.json"
+with open(OUT, "w") as f:
     json.dump({"num_examples": NUM, "rhos": list(RHOS),
                "results": results,
                "wall_seconds": round(time.time() - t0, 1)}, f, indent=1)
-log("wrote GATED_POLISH_DIAG.json")
+log("wrote", OUT)

@@ -15,6 +15,7 @@ programs total; minutes on the chip after compiles.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -60,23 +61,35 @@ CONFIG = {
     "anchor_mu0": 0.3,
     "anchor_schedule": "mu = mu0 * clip(1 - f/0.05, 0, 1) "
                        "(solvers/nasdac.anchor_weight)",
-    "c_polish_ridge_rel": 0.0,   # polish OFF (trades miss for SRE)
+    # round 5: peak-gated observed-entry C polish ON (ridge 0.1 toward
+    # the anchored C; per-band blend guarantees witnessed peaks keep
+    # >= gamma of their anchored render — GATED_POLISH_DIAG*.json).
+    # Recovers inversion-class SRE at rho=1% (1.22 -> ~0.9) and cuts
+    # false alarms (0.083 -> ~0.05) at a measured miss give-back well
+    # inside the published margin.
+    "c_polish_ridge_rel": 0.1,
+    "c_polish_gamma": float(os.environ.get("QSC_POLISH_GAMMA", "0.8")),
+    "c_polish_peaks_extra": int(os.environ.get("QSC_POLISH_PEAKS", "2")),
     "backstop_frac": 0.5,
     "peak_refine_patches": 2,
     "witness": "completion-witnessed anchored nasdac + pointwise no-extinguish backstop + residual peak refine",
     "nnls_iters": 100,
     "seed": 0,
 }
-import os
-
+_polish_kw = dict(
+    polish_ridge=CONFIG["c_polish_ridge_rel"],
+    polish_gamma=CONFIG["c_polish_gamma"],
+    polish_peaks_extra=CONFIG["c_polish_peaks_extra"],
+)
 _vae_ckpt = os.environ.get("QSC_VAE_CKPT")
 if _vae_ckpt:
     CONFIG["vae_checkpoint"] = _vae_ckpt
     methods = load_pretrained_methods(
-        vae_ckpt=_vae_ckpt, only=("deepcomp", "nasdac", "dowjons"))
+        vae_ckpt=_vae_ckpt, only=("deepcomp", "nasdac", "dowjons"),
+        **_polish_kw)
 else:
     methods = load_pretrained_methods(only=("deepcomp", "nasdac",
-                                            "dowjons"))
+                                            "dowjons"), **_polish_kw)
 log("methods:", list(methods))
 
 harness = BatchedHarness(methods, PhysicsConfig(), log_fn=log)
@@ -105,6 +118,48 @@ for m in methods:
     log(f"{m:9s} publ  " + " ".join(f"{v:.4f}" for v in pub)
         + ("  <= published at every rho: PASS" if ok else "  FAIL"))
 
+# False-alarm guard as an explicit CRITERION (round-4 VERDICT item 4):
+# a factored method must not buy miss parity by inflating renders —
+# bound its false-detect rate at every rho by
+#     max(FALSE_RATIO x completion, completion + FALSE_ABS)
+# against the pure per-band completion baseline (DeepComp).  The
+# reference publishes no false tables, so the completion is the
+# yardstick.  The ratio term (1.2x) forbids a raise-everything strategy
+# where false rates are material; the absolute-slack term (+0.01, one
+# event per hundred low candidates) keeps the criterion meaningful
+# where the baseline rate itself is sub-1% and a pure ratio would
+# amplify counting noise (e.g. rho=2.5%: 110 baseline events out of
+# 14k lows).  At rho=1% the bound evaluates to completion+0.01 ~ 0.055
+# — the round-4 VERDICT's own target for that point.
+FALSE_RATIO = 1.2
+FALSE_ABS = 0.01
+false_match = {"bound": f"max({FALSE_RATIO}x, +{FALSE_ABS}) vs "
+                        "completion",
+               "baseline_method": "deepcomp", "per_method": {}}
+base_false = np.asarray([e["false"] / (e["lows"] + 1)
+                         for e in events["deepcomp"]])
+bound = np.maximum(FALSE_RATIO * base_false, base_false + FALSE_ABS)
+false_all_pass = True
+for m in ("nasdac", "dowjons"):
+    ours_false = np.asarray([e["false"] / (e["lows"] + 1)
+                             for e in events[m]])
+    ok = bool(np.all(ours_false <= bound + 1e-9))
+    false_all_pass &= ok
+    false_match["per_method"][m] = {
+        "false_rates": [round(float(v), 4) for v in ours_false],
+        "baseline_rates": [round(float(v), 4) for v in base_false],
+        "bounds": [round(float(v), 4) for v in bound],
+        "ratios": [round(float(a / max(b, 1e-12)), 3)
+                   for a, b in zip(ours_false, base_false)],
+        "pass": ok,
+    }
+    log(f"false guard {m:9s} rates "
+        + " ".join(f"{v:.4f}" for v in ours_false)
+        + "  bounds "
+        + " ".join(f"{v:.4f}" for v in bound)
+        + ("  PASS" if ok else "  FAIL"))
+false_match["all_pass"] = false_all_pass
+
 OUT = os.environ.get("QSC_MISSPROB_OUT", "/root/repo/MISSPROB.json")
 with open(OUT, "w") as f:
     json.dump({
@@ -115,6 +170,7 @@ with open(OUT, "w") as f:
         "published": PUBLISHED,
         "ours": curves,
         "events": events,
+        "false_match": false_match,
         "wall_seconds": wall,
         "all_match_or_beat": all_pass,
         "notes": "DowJons uses the VAE prior (reference: SNGAN); "

@@ -45,11 +45,16 @@ out2 = subprocess.run(
     [sys.executable, "/root/repo/tools/serving_bench_tpu.py",
      "--requests", "1024", "--batch", "64", "--drain-threads", "3"],
     capture_output=True, text=True, timeout=3600)
+# the serving bench writes its full artifact (closed-loop + the round-5
+# open-loop Poisson point) to SERVING.json — read that rather than
+# parsing stdout (which now prints multiple JSON lines)
 serving = None
-for line in out2.stdout.splitlines():
-    line = line.strip()
-    if line.startswith("{"):
-        serving = json.loads(line)
+if out2.returncode == 0:
+    try:
+        with open("/root/repo/SERVING.json") as f:
+            serving = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
 log("serving:", json.dumps(serving))
 if serving is None:
     log("serving stdout:", out2.stdout[-2000:])
@@ -69,6 +74,7 @@ table = {
     "serving_maps_per_sec": serving["maps_per_sec"],
     "serving_fraction_of_raw": serving["fraction_of_raw"],
     "batches_dispatched": serving["batches_dispatched"],
+    "open_loop": serving.get("open_loop"),
     "wall_seconds": round(time.time() - t0, 1),
 }
 with open("/root/repo/THROUGHPUT.json", "w") as f:
