@@ -558,7 +558,7 @@ def standard_methods(
     peak_refine: int = 2,
     backstop_frac: float = 0.5,
     polish_ridge: float = 0.1,
-    polish_gamma: float = 0.8,
+    polish_gamma: float = 0.75,
     polish_peaks_extra: int = 2,
     polish_floor: float = 0.0,
 ) -> Dict[str, HarnessFn]:

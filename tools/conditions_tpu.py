@@ -56,7 +56,7 @@ PUBLISHED_BASE = {"dowjons": 0.3163, "nasdac": 1.1751, "deepcomp": 0.4201,
 
 POLISH = dict(
     polish_ridge=float(os.environ.get("QSC_POLISH_RIDGE", "0.1")),
-    polish_gamma=float(os.environ.get("QSC_POLISH_GAMMA", "0.8")),
+    polish_gamma=float(os.environ.get("QSC_POLISH_GAMMA", "0.75")),
     polish_peaks_extra=int(os.environ.get("QSC_POLISH_PEAKS", "2")),
 )
 

@@ -68,7 +68,7 @@ CONFIG = {
     # false alarms (0.083 -> ~0.05) at a measured miss give-back well
     # inside the published margin.
     "c_polish_ridge_rel": 0.1,
-    "c_polish_gamma": float(os.environ.get("QSC_POLISH_GAMMA", "0.8")),
+    "c_polish_gamma": float(os.environ.get("QSC_POLISH_GAMMA", "0.75")),
     "c_polish_peaks_extra": int(os.environ.get("QSC_POLISH_PEAKS", "2")),
     "backstop_frac": 0.5,
     "peak_refine_patches": 2,
