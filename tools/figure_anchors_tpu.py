@@ -185,6 +185,37 @@ out["oracle_s_cfit"] = {
 }
 log("oracle-S C fit NAE_C:", out["oracle_s_cfit"]["nae_c_per_emitter"])
 
+# ---- NAE_S oracle floor (shadow-texture dominance) --------------------
+# Best possible SMOOTH per-emitter estimate: the simulator's own
+# path-loss kernel min(1,(d/d0)^-alpha) centered at the TRUE peak with
+# alpha swept over its generation range (generate_map.m:90-113,
+# alpha = 2+0.5U) — an oracle no completion method can beat without
+# reconstructing the per-pixel log-normal shadowing (sigma=5 dB,
+# Xc=50).  Its NAE_S distribution measures how much of the metric is
+# irreducible shadow texture.
+yy = np.arange(51, dtype=np.float64)[:, None]
+xx = np.arange(51, dtype=np.float64)[None, :]
+peaks_np = np.asarray(arrs["peaks"])
+floor_naes = []
+for b in range(NUM):
+    for r in range(S_true.shape[1]):
+        px, py = peaks_np[b, r]
+        d = np.sqrt((yy - py) ** 2 + (xx - px) ** 2)
+        best = None
+        for alpha in np.linspace(2.0, 2.5, 11):
+            pl = np.minimum((np.maximum(d, 1e-6) / 2.0) ** -alpha, 1.0)
+            v = nae_np(S_true[b][r], pl)
+            best = v if best is None else min(best, v)
+        floor_naes.append(best)
+out["oracle_smooth_naes_floor"] = {
+    "what": "NAE_S of the oracle path-loss kernel (true peak, best "
+            "alpha) vs the true shadowed SLF — the smooth-estimator "
+            "floor; shadow texture alone forces this much NAE",
+    "nae_s_per_emitter": stats(floor_naes),
+}
+log("oracle smooth NAE_S floor:",
+    out["oracle_smooth_naes_floor"]["nae_s_per_emitter"])
+
 with open("/root/repo/FIGURE_ANCHORS.json", "w") as f:
     json.dump({
         "protocol": "base condition f=0.05 R=2 sigma=5 Xc=50 noiseless, "
