@@ -92,6 +92,8 @@ def recover_dip_tensor(
     holdout_frac: float = 0.05,
     l2_c: float = 0.01,
     val_ema_decay: float = 0.9,
+    lr_schedule: str = "constant",
+    out_ema_decay: float = 0.0,
 ):
     """Full-tensor 1-bit recovery with DIP spatial priors: each emitter's
     SLF is an untrained `DecoderDip` instance (fixed z_r, Adam on its
@@ -164,10 +166,18 @@ def recover_dip_tensor(
                                     probit=True, mask=train_mask)
                 + l2_c * safe_fro(C)), bs
 
-    opt = optax.adam(lr)
+    # lr_schedule="cosine": decay lr -> lr/10 over the run.  DIP fits
+    # coarse structure early and texture late; annealing lets the late
+    # iterates settle instead of bouncing around the dither-noise basin
+    # (the measured traj_last >> traj_best gap).
+    if lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(lr, steps, alpha=0.1)
+        opt = optax.adam(learning_rate=sched)
+    else:
+        opt = optax.adam(lr)
 
     def step(carry, _):
-        params, C, bs, st, ema, best = carry
+        params, C, bs, st, ema, t_ema, best = carry
         (loss, bs), g = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(params, C, bs)
         u, st = opt.update(g, st, (params, C))
@@ -175,6 +185,18 @@ def recover_dip_tensor(
         C = jnp.maximum(C, 0.0)                     # nonneg projection
         S, _ = forward(params, bs)
         T_hat = get_tensor(S, C)
+        if out_ema_decay > 0.0:
+            # output EMA along the trajectory (standard DIP stabilizer):
+            # the 1-bit validation NLL is measured nearly FLAT over the
+            # run (0.687±0.001) — the saturating likelihood cannot rank
+            # iterates whose NMSE differs by 0.1+ — so best-val stopping
+            # loses ~0.06 NMSE to late-trajectory oscillation
+            # (traj_last spikes to 0.96 vs traj_best 0.80,
+            # tools/dip_lr_probe.py).  Averaging the reconstruction
+            # suppresses the oscillation with no stopping signal at all.
+            t_ema = jnp.where(jnp.isinf(t_ema[0, 0, 0]), T_hat,
+                              out_ema_decay * t_ema
+                              + (1.0 - out_ema_decay) * T_hat)
         err = (nmse_metric(T_hat, T_ref) if track else jnp.float32(0.0))
         if val_mask is not None:
             val = neg_likelihood_1bit(T_hat, T_obs, mean, std,
@@ -194,16 +216,20 @@ def recover_dip_tensor(
                     jnp.where(better, C, best_C),
                     jax.tree.map(lambda n, o: jnp.where(better, n, o),
                                  bs, best_bs))
-        return (params, C, bs, st, ema, best), (loss, err)
+        return (params, C, bs, st, ema, t_ema, best), (loss, err)
 
     best0 = (jnp.float32(jnp.inf), params, C0, batch_stats)
-    (params, C, batch_stats, _, _, best), (losses, nmses) = jax.lax.scan(
-        step, (params, C0, batch_stats, opt.init((params, C0)),
-               jnp.float32(jnp.inf), best0),
-        None, length=steps)
+    t_ema0 = jnp.full_like(T_obs, jnp.inf)
+    (params, C, batch_stats, _, _, t_ema, best), (losses, nmses) = \
+        jax.lax.scan(
+            step, (params, C0, batch_stats, opt.init((params, C0)),
+                   jnp.float32(jnp.inf), t_ema0, best0),
+            None, length=steps)
     holdout_best = jnp.float32(jnp.inf)
     if val_mask is not None:
         holdout_best, params, C, batch_stats = best
     S_hat, _ = forward(params, batch_stats)
     aux = {"holdout_best": holdout_best, "final_fit": losses[-1]}
+    if out_ema_decay > 0.0:
+        aux["T_ema"] = t_ema
     return S_hat, C, losses, nmses, aux
