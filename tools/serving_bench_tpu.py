@@ -101,18 +101,20 @@ def main():
     t0 = time.time()
     submit_times = []
     futures = []
+    done_closed = [0.0] * args.requests
     for i in range(args.requests):
         submit_times.append(time.time())
-        futures.append(sched.submit({"T_obs": T_obs[i]}))
-    lat = []
-    for st, f in zip(submit_times, futures):
+        f = sched.submit({"T_obs": T_obs[i]})
+        f.add_done_callback(
+            lambda fut, i=i: done_closed.__setitem__(i, time.time()))
+        futures.append(f)
+    for f in futures:
         r = f.result(timeout=600)
-        lat.append(time.time() - st)
         assert np.isfinite(r["cost"]), "non-finite solver cost"
-    dt = time.time() - t0
+    dt = max(done_closed) - t0
     sched.shutdown()
 
-    lat = np.asarray(lat)
+    lat = np.asarray(done_closed) - np.asarray(submit_times)
     serving = args.requests / dt
     out = {
         "metric": "serving throughput, continuous-batched 1-bit recovery",
@@ -149,6 +151,11 @@ def main():
     print(f"open loop: lambda = {lam:.1f} req/s "
           f"({open_frac:.2f} x raw bound)", flush=True)
     t0 = time.time()
+    # completion times MUST be captured at future-resolve time via
+    # callbacks: the main thread is busy pacing arrivals for the whole
+    # submission window, so reading futures afterwards would timestamp
+    # early completions seconds late and inflate every latency quantile
+    done_t = [0.0] * args.requests
     submit_times2, futures2 = [], []
     next_t = t0
     for i in range(args.requests):
@@ -157,15 +164,15 @@ def main():
         if next_t > now:
             time.sleep(next_t - now)
         submit_times2.append(time.time())
-        futures2.append(sched2.submit({"T_obs": T_obs[i]}))
-    lat2, done_t = [], []
-    for st, f in zip(submit_times2, futures2):
+        f = sched2.submit({"T_obs": T_obs[i]})
+        f.add_done_callback(
+            lambda fut, i=i: done_t.__setitem__(i, time.time()))
+        futures2.append(f)
+    for f in futures2:
         r = f.result(timeout=600)
-        done_t.append(time.time())
-        lat2.append(done_t[-1] - st)
         assert np.isfinite(r["cost"]), "non-finite solver cost"
     sched2.shutdown()
-    lat2 = np.asarray(lat2)
+    lat2 = np.asarray(done_t) - np.asarray(submit_times2)
     span = max(done_t) - t0
     # drop the warm-up/drain edges for the sustained-rate estimate:
     # completions between the 10th and 90th percentile completion times
