@@ -23,7 +23,10 @@ import time
 
 import numpy as np
 
-BATCH = 128
+# B=256: measured batch-saturation point (B-sweep on the real chip:
+# 128 -> 291, 256 -> 305, 512 -> 307 maps/s — dispatch amortization
+# saturates by 256; RESULTS.md throughput section)
+BATCH = 256
 OUTER = 50
 INNER = 5
 GRID, BANDS, RANK = 51, 64, 2

@@ -107,3 +107,19 @@ def test_dowjons_ae_registered_in_harness():
     ae_apply, _ = _tiny_ae()
     methods = standard_methods(ae_input_apply=ae_apply)
     assert "dowjons_ae" in methods
+
+
+def test_dowjons_alias_pops_variant_key():
+    """The 'dowjons' alias must REPLACE its variant key, not duplicate
+    it: a consumer running the full registry (cli conditions with no
+    filter) would otherwise execute the most expensive solver twice
+    under two names (round-4 ADVICE)."""
+    from quantized_spectrum_cartography_tpu.baselines import standard_methods
+
+    def fake_gen(z):
+        import jax.numpy as jnp
+        return jnp.zeros((z.shape[0], 51, 51))
+
+    methods = standard_methods(gen_apply=fake_gen, dowjons_variant="gan")
+    assert "dowjons" in methods
+    assert "dowjons_gan" not in methods
