@@ -119,3 +119,47 @@ def test_run_conditions_tps_smoke():
     assert 0.0 <= stats["miss_prob"] <= 1.0
     assert 0.0 <= stats["false_prob"] <= 1.0
     assert stats["valid"] == 1
+
+
+def test_detection_stack_wiring_end_to_end():
+    """The full nasdac/dowjons method stack (witnessed anchored swap +
+    no-extinguish backstop + residual peak patches + round-5 peak-gated
+    polish) wired through standard_methods, on a tiny rho=1% problem
+    with a function-level completer and generator — no trained weights.
+    Guards the wiring that only the TPU measurement tools otherwise
+    exercise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quantized_spectrum_cartography_tpu.baselines.harness import (
+        Condition, make_problem)
+
+    def ae_complete(mask, band):
+        # function-level "completion": observed values kept, unobserved
+        # filled with the observed mean plus a smoothed spread
+        m = mask.astype(band.dtype)
+        mean = jnp.sum(band * m) / jnp.maximum(jnp.sum(m), 1.0)
+        return band * m + mean * (1.0 - m)
+
+    zdim = 8
+    basis = jax.random.normal(jax.random.PRNGKey(0), (zdim, 51 * 51))
+
+    def gen_apply(z):
+        return jax.nn.softplus(z @ basis).reshape(z.shape[0], 51, 51) * 0.01
+
+    methods = standard_methods(
+        gen_apply=gen_apply, z_dim=zdim, ae_complete=ae_complete,
+        dowjons_iters=2, dowjons_restarts=1, btd_restarts=1,
+        polish_ridge=0.1, polish_gamma=0.75)
+    assert {"nasdac", "dowjons", "deepcomp"} <= set(methods)
+
+    hp = make_problem(jax.random.PRNGKey(1), Condition(fraction=0.01))
+    for name in ("deepcomp", "nasdac", "dowjons"):
+        out = methods[name](jax.random.PRNGKey(2), hp)
+        T_hat = np.asarray(out["T_hat"])
+        assert T_hat.shape == hp.T_true.shape, name
+        assert np.all(np.isfinite(T_hat)), name
+        assert T_hat.min() >= -1e-6, name
+        if "C_hat" in out:
+            assert np.all(np.asarray(out["C_hat"]) >= -1e-6), name
