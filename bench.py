@@ -84,9 +84,13 @@ def jax_maps_per_sec() -> "tuple[float, list]":
     return float(np.median(rates)), rates
 
 
-def torch_maps_per_sec() -> float:
-    """Strengthened torch-CPU baseline: same algorithm, einsum-vectorized,
-    single map timed (the reference runs one map per notebook)."""
+def torch_single_run_seconds() -> float:
+    """ONE full solve of the strengthened torch-CPU baseline: same
+    algorithm as the JAX path, einsum-vectorized, single map (the
+    reference runs one map per notebook).  The single source of truth
+    for the baseline algorithm — tools/pin_torch_baseline.py times THIS
+    function, so the pinned denominator and any live measurement cannot
+    diverge."""
     import torch
 
     torch.manual_seed(0)
@@ -106,26 +110,34 @@ def torch_maps_per_sec() -> float:
         return bce(z.clamp(1e-6, 1 - 1e-6), T_obs) + \
             0.01 * torch.norm(C, "fro")
 
+    t0 = time.time()
+    for i in range(OUTER):
+        for _ in range(INNER):
+            opt_s.zero_grad(); opt_c.zero_grad()
+            c = cost(); c.backward(); opt_s.step()
+        for _ in range(INNER):
+            opt_s.zero_grad(); opt_c.zero_grad()
+            c = cost(); c.backward(); opt_c.step()
+        if (i + 1) % 5 == 0:
+            with torch.no_grad():
+                u, s, v = torch.svd(S)
+                s[:, 10:] = 0
+                S.copy_(u @ torch.diag_embed(s) @ v.transpose(-2, -1))
+                C.clamp_(min=0)
+    return time.time() - t0
+
+
+# the baseline-protocol fingerprint: a pinned BASELINE_TORCH.json is
+# only honored when it was measured under these exact constants
+BASELINE_FINGERPRINT = {"outer": OUTER, "inner": INNER, "grid": GRID,
+                        "bands": BANDS, "rank": RANK}
+
+
+def torch_maps_per_sec() -> float:
     # best-of-2 full runs: the CPU baseline is sensitive to transient host
     # load, and an artificially slow baseline would inflate vs_baseline
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        for i in range(OUTER):
-            for _ in range(INNER):
-                opt_s.zero_grad(); opt_c.zero_grad()
-                c = cost(); c.backward(); opt_s.step()
-            for _ in range(INNER):
-                opt_s.zero_grad(); opt_c.zero_grad()
-                c = cost(); c.backward(); opt_c.step()
-            if (i + 1) % 5 == 0:
-                with torch.no_grad():
-                    u, s, v = torch.svd(S)
-                    s[:, 10:] = 0
-                    S.copy_(u @ torch.diag_embed(s) @ v.transpose(-2, -1))
-                    C.clamp_(min=0)
-        best = min(best, time.time() - t0)
-    return 1.0 / best
+    return 1.0 / min(torch_single_run_seconds(),
+                     torch_single_run_seconds())
 
 
 def main():
@@ -164,18 +176,31 @@ def main():
         try:
             with open(pin_path) as f:
                 pin = json.load(f)
-            torch_rate = float(pin["maps_per_sec_median"])
-            baseline_src = {"source": "pinned (BASELINE_TORCH.json)",
-                            "maps_per_sec": torch_rate,
-                            "spread": pin.get("spread"),
-                            "pinned_utc": pin.get("pinned_utc")}
+            # honor the pin only when its protocol fingerprint matches
+            # the current constants — a stale pin after a protocol
+            # change would silently skew the headline ratio
+            if pin.get("fingerprint") == BASELINE_FINGERPRINT:
+                torch_rate = float(pin["maps_per_sec_median"])
+                baseline_src = {"source": "pinned (BASELINE_TORCH.json)",
+                                "maps_per_sec": torch_rate,
+                                "spread": pin.get("spread"),
+                                "pinned_utc": pin.get("pinned_utc")}
+            else:
+                baseline_src = {"source": "pin fingerprint mismatch -> "
+                                          "live measurement",
+                                "pin_fingerprint": pin.get("fingerprint"),
+                                "current": BASELINE_FINGERPRINT}
         except (OSError, KeyError, ValueError, json.JSONDecodeError):
             pass
     if torch_rate != torch_rate:
         try:
             torch_rate = torch_maps_per_sec()
-            baseline_src = {"source": "live measurement (no pin found)",
-                            "maps_per_sec": round(torch_rate, 4)}
+            live = {"source": "live measurement"
+                              + ("" if baseline_src else " (no pin found)"),
+                    "maps_per_sec": round(torch_rate, 4)}
+            if baseline_src:            # carry the mismatch explanation
+                live["pin_rejected"] = baseline_src
+            baseline_src = live
         except Exception:
             torch_rate = float("nan")
     out = {

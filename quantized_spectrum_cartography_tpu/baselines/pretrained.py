@@ -51,5 +51,15 @@ def load_pretrained_methods(
                                ae_latent_fns=ae_latent_fns,
                                **standard_kwargs)
     if only is not None:
+        # strict: a name that doesn't resolve raises instead of being
+        # silently dropped — after the round-5 alias cleanup ("dowjons"
+        # replaced the "dowjons_gan" key) a stale `only` spelling would
+        # otherwise yield an empty registry and an empty artifact
+        unknown = [m for m in only if m not in methods]
+        if unknown:
+            raise KeyError(
+                f"unknown method(s) {unknown}; registered: "
+                f"{sorted(methods)} (note: the selected dowjons variant "
+                f"is registered under the canonical name 'dowjons')")
         methods = {k: v for k, v in methods.items() if k in only}
     return methods

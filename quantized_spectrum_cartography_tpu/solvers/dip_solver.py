@@ -94,6 +94,7 @@ def recover_dip_tensor(
     val_ema_decay: float = 0.9,
     lr_schedule: str = "constant",
     out_ema_decay: float = 0.0,
+    holdout_key: Optional[jax.Array] = None,
 ):
     """Full-tensor 1-bit recovery with DIP spatial priors: each emitter's
     SLF is an untrained `DecoderDip` instance (fixed z_r, Adam on its
@@ -126,6 +127,13 @@ def recover_dip_tensor(
     R = num_emitters
     model = DecoderDip(z_dim=z_dim)
     key, kh = jax.random.split(key)
+    # `holdout_key` pins the validation split independently of the
+    # restart key: restart selection by holdout NLL compares means over
+    # the SAME ~8k held-out entries (a per-restart random split was
+    # measured confounded — cross-split sampling noise is comparable to
+    # the between-restart signal, round-5 review finding)
+    if holdout_key is not None:
+        kh = holdout_key
     kz, kp, kc = jax.random.split(key, 3)
     if holdout_frac > 0.0:
         val_mask = jax.random.bernoulli(

@@ -34,31 +34,18 @@ def lost_peak_flag(
     emitter entirely (measured: at rho=7.5% ALL DowJons misses came from
     2/50 examples whose lost emitter rendered at 0.05-0.14x with the peak
     pixel unobserved).  The per-band AE completion `T_comp` sees those
-    peaks; so find the `num_peaks` strongest spatial maxima of the
-    completion's band-summed map (greedy argmax + square non-max
-    suppression of `radius`), and flag the example when the factored
-    estimate carries < `thresh` of the completion's value at any of
-    them.  Flagged examples are re-solved (or swapped) with the
-    completion anchor active.  Returns a scalar bool."""
+    peaks; so take the `num_peaks` witness peaks (`witness_peaks` — the
+    single peak-extraction convention every witness gate shares) and
+    flag the example when the factored estimate carries < `thresh` of
+    the completion's value at any of them.  Flagged examples are
+    re-solved (or swapped) with the completion anchor active.  Returns a
+    scalar bool."""
+    pts = witness_peaks(T_comp, num_peaks, radius)        # [P, 2] (y, x)
     M_comp = jnp.sum(T_comp, axis=0)
     M_hat = jnp.sum(T_hat, axis=0)
-    I, J = M_comp.shape
-    yy = jnp.arange(I)[:, None]
-    xx = jnp.arange(J)[None, :]
-
-    def body(carry, _):
-        M, worst = carry
-        idx = jnp.argmax(M)
-        y, x = idx // J, idx % J
-        ratio = M_hat[y, x] / jnp.maximum(M_comp[y, x], 1e-12)
-        worst = jnp.minimum(worst, ratio)
-        M = jnp.where((jnp.abs(yy - y) <= radius)
-                      & (jnp.abs(xx - x) <= radius), -jnp.inf, M)
-        return (M, worst), None
-
-    (_, worst), _ = jax.lax.scan(
-        body, (M_comp, jnp.float32(jnp.inf)), None, length=num_peaks)
-    return worst < thresh
+    ratios = (M_hat[pts[:, 0], pts[:, 1]]
+              / jnp.maximum(M_comp[pts[:, 0], pts[:, 1]], 1e-12))
+    return jnp.min(ratios) < thresh
 
 
 def witnessed_swap_flag(
@@ -90,6 +77,7 @@ def witnessed_swap_flag(
     ~1.2 samples; requiring data support there blocked every beneficial
     swap).  All inputs [K, I, J] except W [I, J].  Returns scalar
     bool."""
+    pts = witness_peaks(T_wit, num_peaks, radius)         # [P, 2] (y, x)
     M_wit = jnp.sum(T_wit, axis=0)
     M_cur = jnp.sum(T_cur, axis=0)
     I, J = M_wit.shape
@@ -97,10 +85,8 @@ def witnessed_swap_flag(
     xx = jnp.arange(J)[None, :]
     Wb = W[None]
 
-    def body(carry, _):
-        M, fire = carry
-        idx = jnp.argmax(M)
-        y, x = idx // J, idx % J
+    def one_peak(pt):
+        y, x = pt[0], pt[1]
         ratio = M_cur[y, x] / jnp.maximum(M_wit[y, x], 1e-12)
         near = ((jnp.abs(yy - y) <= window)
                 & (jnp.abs(xx - x) <= window)).astype(T_obs.dtype)[None]
@@ -109,15 +95,9 @@ def witnessed_swap_flag(
         n_loc = jnp.sum(near[0] * W)
         supported = ((e_cand < fit_factor * e_cur)
                      | (n_loc < min_obs))
-        lost = (ratio < thresh) & supported
-        fire = fire | lost
-        M = jnp.where((jnp.abs(yy - y) <= radius)
-                      & (jnp.abs(xx - x) <= radius), -jnp.inf, M)
-        return (M, fire), None
+        return (ratio < thresh) & supported
 
-    (_, fire), _ = jax.lax.scan(
-        body, (M_wit, jnp.bool_(False)), None, length=num_peaks)
-    return fire
+    return jnp.any(jax.vmap(one_peak)(pts))
 
 
 def witness_peaks(

@@ -157,14 +157,28 @@ if base_label in results:
             f"valid {st['valid']}")
 
 # R-axis regression assertion (VERDICT item 5): the stack must not
-# regress vs plain at any R (allow noise-level slack)
+# regress vs plain at any R (allow noise-level slack).  The verdict is
+# PERSISTED into CONDITIONS.json (not just logged) and a FAIL exits
+# nonzero, so the committed artifact can never silently carry a
+# violated certification.
 viol = []
 for cond in condition_grid("num_emitters"):
     st = results.get(cond.label(), {})
     for m in ("nasdac", "dowjons"):
         d = st.get(f"{m}_stack_delta")
         if d and (d["miss_prob"] > 0.02 or d["sre"] > 0.05):
-            viol.append((cond.label(), m, d))
+            viol.append([cond.label(), m, d])
+r_axis_check = {
+    "rule": "stack vs plain at every R in {5..13}: dmiss <= 0.02 and "
+            "dSRE <= 0.05",
+    "violations": viol,
+    "pass": not viol,
+}
+with open(OUT) as f:
+    _doc = json.load(f)
+_doc["r_axis_regression_check"] = r_axis_check
+with open(OUT, "w") as f:
+    json.dump(_doc, f, indent=1)
 if viol:
     log("R-AXIS REGRESSION CHECK: FAIL", viol)
 else:
@@ -175,3 +189,5 @@ exec_time = sum(sorted(timings.values())[:-8])  # drop the 8 compile-heavy
 log(f"grid complete: {len(results)} conditions, {total:.0f}s total; "
     f"steady-state (excl. compile-heavy first-use conditions): "
     f"{exec_time:.0f}s")
+if viol:
+    raise SystemExit(1)

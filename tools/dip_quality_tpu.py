@@ -71,14 +71,18 @@ for seed in range(SEEDS):
         S, C, losses, nm, aux = recover_dip_tensor(
             jax.random.fold_in(key, 7 + 13 * rs), T_obs, mean=MEAN,
             std=STD, num_emitters=R, steps=STEPS, T_true=prob.T_true,
-            l2_c=0.03, out_ema_decay=0.995)
+            l2_c=0.03, out_ema_decay=0.995,
+            holdout_key=jax.random.fold_in(key, 999))
         T_hat = aux["T_ema"]
         t_hats.append(np.asarray(T_hat))
         returned = float(nmse(T_hat, prob.T_true))
         stopped = float(nmse(get_tensor(S, C), prob.T_true))
         fit = float(aux["final_fit"])
+        # key naming: nmse_out_ema = the round-5 output-EMA estimator;
+        # nmse_stopped_iterate = the round-4 smoothed-val stopped
+        # iterate.  The ambiguous 'nmse_returned' key (which silently
+        # changed meaning between rounds) is retired.
         cands.append({"restart": rs, "nmse_out_ema": returned,
-                      "nmse_returned": returned,
                       "nmse_stopped_iterate": stopped,
                       "final_fit": fit,
                       "holdout_best": float(aux["holdout_best"]),
@@ -100,14 +104,14 @@ for seed in range(SEEDS):
     ens = float(nmse(jnp.asarray(T_ens), prob.T_true))
     per_seed.append({"seed": seed, "picked_restart": pick["restart"],
                      "nmse": ens,
-                     "nmse_picked_single": pick["nmse_returned"],
+                     "nmse_picked_single": pick["nmse_out_ema"],
                      "nmse_if_picked_by_final_fit":
-                         pick_by_fit["nmse_returned"],
+                         pick_by_fit["nmse_out_ema"],
                      "nmse_restart_ensemble": ens,
                      "restarts": cands})
     log(f"seed {seed}: ensemble NMSE {ens:.4f}; holdout-picked single "
-        f"{pick['nmse_returned']:.4f} (final-fit rule would give "
-        f"{pick_by_fit['nmse_returned']:.4f})")
+        f"{pick['nmse_out_ema']:.4f} (final-fit rule would give "
+        f"{pick_by_fit['nmse_out_ema']:.4f})")
 
 vals = np.asarray([s["nmse"] for s in per_seed])
 out = {
@@ -124,6 +128,7 @@ out = {
     "config": {"steps": STEPS, "lr": 0.001, "z_dim": 256,
                "holdout_frac": 0.05, "l2_c": 0.03,
                "val_ema_decay": 0.9, "out_ema_decay": 0.995,
+               "fixed_holdout_split_per_seed": True,
                "seeds": SEEDS, "restarts": RESTARTS},
     "per_seed": per_seed,
     "dip_nmse_per_seed": [round(float(v), 4) for v in vals],

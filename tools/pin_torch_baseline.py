@@ -27,46 +27,17 @@ sys.path.insert(0, "/root/repo")
 
 import torch
 
-from bench import BANDS, GRID, INNER, MEAN, OUTER, RANK, STD
+from bench import (BASELINE_FINGERPRINT, INNER, OUTER,
+                   torch_single_run_seconds)
 
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 5
 
 
 def one_run() -> float:
-    """One full solve; returns wall seconds (bench.torch_maps_per_sec
-    body, single run)."""
-    torch.manual_seed(0)
-    T_true = torch.rand(BANDS, GRID, GRID) * 0.01
-    p = 0.5 * (1 + torch.erf((T_true - MEAN) / (STD * 1.414213)))
-    T_obs = torch.bernoulli(p)
-
-    S = torch.zeros(RANK, GRID, GRID, requires_grad=True)
-    C = torch.full((RANK, BANDS), 0.01, requires_grad=True)
-    opt_s = torch.optim.Adam([S], lr=0.001)
-    opt_c = torch.optim.Adam([C], lr=0.001)
-    bce = torch.nn.BCELoss()
-
-    def cost():
-        T_hat = torch.einsum("rij,rk->kij", S, C)
-        z = 0.5 * (1 + torch.erf((T_hat - MEAN) / (STD * 1.414213)))
-        return bce(z.clamp(1e-6, 1 - 1e-6), T_obs) + \
-            0.01 * torch.norm(C, "fro")
-
-    t0 = time.time()
-    for i in range(OUTER):
-        for _ in range(INNER):
-            opt_s.zero_grad(); opt_c.zero_grad()
-            c = cost(); c.backward(); opt_s.step()
-        for _ in range(INNER):
-            opt_s.zero_grad(); opt_c.zero_grad()
-            c = cost(); c.backward(); opt_c.step()
-        if (i + 1) % 5 == 0:
-            with torch.no_grad():
-                u, s, v = torch.svd(S)
-                s[:, 10:] = 0
-                S.copy_(u @ torch.diag_embed(s) @ v.transpose(-2, -1))
-                C.clamp_(min=0)
-    return time.time() - t0
+    """One full solve, timed — delegates to bench.torch_single_run_seconds
+    (the single source of truth for the baseline algorithm; a duplicated
+    loop here could silently diverge from what bench compares against)."""
+    return torch_single_run_seconds()
 
 
 one_run()  # warm-up (allocator, thread pool)
@@ -86,6 +57,7 @@ out = {
     "rep_rates": [round(r, 4) for r in rates],
     "spread": [round(min(rates), 4), round(max(rates), 4)],
     "reps": REPS,
+    "fingerprint": BASELINE_FINGERPRINT,
     "torch_version": torch.__version__,
     "torch_threads": torch.get_num_threads(),
     "platform": platform.platform(),

@@ -61,12 +61,14 @@ if serving is None:
     log("serving stderr:", out2.stderr[-2000:])
     raise SystemExit(1)
 
+import bench as _bench
+
 table = {
     "protocol": "all numbers from one session on one chip; bench.py = "
-                "batched B=128 low-rank 1-bit recovery, 5 timed reps; "
-                "serving = 1024 requests (16 batches of 64) through the "
-                "depth-3 continuous-batching pipeline vs its "
-                "same-process raw bound",
+                f"batched B={_bench.BATCH} low-rank 1-bit recovery, "
+                "5 timed reps; serving = 1024 requests (16 batches of "
+                "64) through the depth-3 continuous-batching pipeline "
+                "vs its same-process raw bound",
     "bench": bench,
     "serving": serving,
     "single_chip_maps_per_sec": bench["value"] if bench else None,
