@@ -126,6 +126,42 @@ def witness_peaks(
     return pts
 
 
+def distance_to_observed(W: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel Euclidean distance to the nearest OBSERVED location.
+
+    W [I, J] (bool/0-1 mask) -> D [I, J] in pixels (0 at observed
+    pixels; inf only if the mask is empty).  Brute force over the
+    static pairwise grid — [IJ, IJ] = 2601^2 at the reference geometry,
+    a trivial min-reduce on the MXU's neighbors and shared across a
+    vmapped batch (the distance grid is mask-independent)."""
+    I, J = W.shape
+    yy, xx = jnp.meshgrid(jnp.arange(I), jnp.arange(J), indexing="ij")
+    coords = jnp.stack([yy.ravel(), xx.ravel()], 1).astype(jnp.float32)
+    d2 = jnp.sum(jnp.square(coords[:, None] - coords[None]), -1)
+    wf = W.reshape(-1) > 0
+    d2 = jnp.where(wf[None, :], d2, jnp.inf)
+    return jnp.sqrt(jnp.min(d2, axis=1)).reshape(I, J)
+
+
+def anchor_confidence(
+    W: jnp.ndarray,
+    tau: float,
+) -> jnp.ndarray:
+    """Completion-confidence weight per unobserved entry: exp(-max(D-1,
+    0)/tau) where D is the distance to the nearest observed sample.
+
+    Rationale (round 5): the AE completion's error grows with distance
+    from its nearest observation, but the flat anchor weighted every
+    unobserved entry equally — imprinting the completion's amplitude
+    error hardest exactly where the completion is least trustworthy.
+    Decaying the anchor weight with distance keeps the design
+    reconditioning near samples (where completion is near-exact) while
+    shrinking the far-field imprint.  tau in pixels; tau=inf recovers
+    the flat anchor.  W [I, J]; returns [I, J] in (0, 1]."""
+    D = distance_to_observed(W)
+    return jnp.exp(-jnp.maximum(D - 1.0, 0.0) / tau)
+
+
 def anchor_weight(
     W: jnp.ndarray,
     mu0: float = 0.3,
@@ -159,6 +195,7 @@ def recover_nasdac(
     polish_gamma: Optional[float] = None,
     polish_peaks_extra: int = 2,
     polish_floor: float = 0.0,
+    anchor_conf_tau: float = 0.0,
 ) -> RecoveryResult:
     """T_obs [K, I, J] sampled at per-location mask Om [I, J] (zeros
     elsewhere); ae_complete(mask, slf) -> completed slf [I, J].
@@ -167,7 +204,11 @@ def recover_nasdac(
     C refit by NNLS on the completed SLFs (the reference keeps the SPA
     pseudo-inverse C, joint_opt_ae.m:231-241), and the low-rho
     completion-anchored C fit (`anchor_weight`; anchor_mu0=0 restores
-    the observed-entries-only fit)."""
+    the observed-entries-only fit).  `anchor_conf_tau` > 0 scales the
+    per-entry anchor weight by `anchor_confidence` (exp decay in the
+    distance to the nearest observed sample, tau pixels) — the flat
+    anchor imprints the completion's amplitude error hardest exactly
+    where the completion is least trustworthy."""
     K, I, J = T_obs.shape
     R = num_emitters
     W = Om.astype(T_obs.dtype)
@@ -186,7 +227,10 @@ def recover_nasdac(
     if anchor_mu0 > 0.0:
         T_comp = jax.vmap(lambda band: ae_complete(W, band))(T_obs)
         T_fit = T_obs * W[None] + T_comp * (1.0 - W[None])
-        Wf = jnp.sqrt(W[None] + mu * (1.0 - W[None])).reshape(1, -1)
+        conf = (anchor_confidence(W, anchor_conf_tau)
+                if anchor_conf_tau > 0.0 else 1.0)
+        Wf = jnp.sqrt(W[None]
+                      + mu * conf * (1.0 - W[None])).reshape(1, -1)
     else:
         T_fit = T_obs * W[None]
         Wf = W.reshape(1, -1)

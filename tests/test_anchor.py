@@ -236,3 +236,20 @@ def test_gated_polish_c_end_to_end():
     err_anch = float(jnp.sum(jnp.abs(C_anchor[0] - C_true[0])))
     err_out = float(jnp.sum(jnp.abs(C[0] - C_true[0])))
     assert err_out < err_anch
+
+
+def test_distance_to_observed_and_confidence():
+    from quantized_spectrum_cartography_tpu.solvers.nasdac import (
+        anchor_confidence, distance_to_observed)
+    I = 12
+    W = jnp.zeros((I, I)).at[2, 3].set(1.0).at[9, 9].set(1.0)
+    D = distance_to_observed(W)
+    assert float(D[2, 3]) == 0.0 and float(D[9, 9]) == 0.0
+    np.testing.assert_allclose(float(D[2, 6]), 3.0, atol=1e-5)
+    np.testing.assert_allclose(float(D[5, 7]), np.sqrt(16 + 4), atol=1e-5)
+    conf = anchor_confidence(W, tau=4.0)
+    assert float(conf[2, 3]) == 1.0            # observed
+    assert float(conf[2, 4]) == 1.0            # within the 1px grace
+    assert float(conf[2, 6]) < 1.0             # decays beyond it
+    # monotone in distance
+    assert float(conf[2, 6]) > float(conf[2, 9])

@@ -62,6 +62,23 @@ if len(sys.argv) > 2 and sys.argv[2] == "refine":
         ("gated_r0.1_g0.7_p4", dict(polish_ridge=0.1, polish_gamma=0.7,
                                     polish_peaks_extra=4)),
     ]
+if len(sys.argv) > 2 and sys.argv[2] == "conftau":
+    # round-5 headroom probe: confidence-weighted anchor (per-entry
+    # anchor weight decays exp(-(D-1)/tau) with distance D to the
+    # nearest observed sample) at the adopted gamma=0.75 gate.  The
+    # oracle-C floor (LOWRHO_SRE_FLOOR.json: 0.43-0.47 at rho=1%) says
+    # amplitude assignment still carries 2x headroom; the flat anchor
+    # imprints completion error hardest where completion is least
+    # trustworthy.
+    VARIANTS = [
+        ("tau_off_g0.75", dict(polish_ridge=0.1, polish_gamma=0.75)),
+        ("tau8_g0.75", dict(polish_ridge=0.1, polish_gamma=0.75,
+                            anchor_conf_tau=8.0)),
+        ("tau16_g0.75", dict(polish_ridge=0.1, polish_gamma=0.75,
+                             anchor_conf_tau=16.0)),
+        ("tau4_g0.75", dict(polish_ridge=0.1, polish_gamma=0.75,
+                            anchor_conf_tau=4.0)),
+    ]
 if len(sys.argv) > 2 and sys.argv[2] == "floor":
     # round-3 refinement: the protection floor (peak_gated_blend
     # protect_floor — drop protection of (band, peak) pairs whose
@@ -103,7 +120,7 @@ for vname, kw in VARIANTS:
                 f"sre {st['sre']:7.4f}  miss {st['miss_prob']:.4f}  "
                 f"false {st['false_prob']:.4f}")
 
-_suffix = {"refine": "2", "floor": "3"}.get(
+_suffix = {"refine": "2", "floor": "3", "conftau": "4"}.get(
     sys.argv[2] if len(sys.argv) > 2 else "", "")
 OUT = f"/root/repo/GATED_POLISH_DIAG{_suffix}.json"
 with open(OUT, "w") as f:
