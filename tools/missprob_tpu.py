@@ -74,7 +74,7 @@ CONFIG = {
     "peak_refine_patches": 2,
     "witness": "completion-witnessed anchored nasdac + pointwise no-extinguish backstop + residual peak refine",
     "nnls_iters": 100,
-    "seed": 0,
+    "seed": int(os.environ.get("QSC_SEED", "0")),
 }
 _polish_kw = dict(
     polish_ridge=CONFIG["c_polish_ridge_rel"],
@@ -94,7 +94,8 @@ log("methods:", list(methods))
 
 harness = BatchedHarness(methods, PhysicsConfig(), log_fn=log)
 conds = condition_grid("fraction", RHOS)
-out = harness.run(conds, num_examples=NUM_EXAMPLES, seed=0)
+out = harness.run(conds, num_examples=NUM_EXAMPLES,
+                  seed=CONFIG["seed"])
 wall = time.time() - t0
 
 curves = {m: [] for m in methods}
