@@ -1,0 +1,79 @@
+"""Pool multi-seed miss-detection runs into MISSPROB_SEEDS.json.
+
+Reads the per-seed MISSPROB artifacts (each produced by
+`QSC_SEED=<s> QSC_MISSPROB_OUT=<path> python tools/missprob_tpu.py 150`),
+sums the raw event counts, and emits the pooled per-rho rates with the
+reference (total+1) denominators plus per-seed curves and verdicts —
+the draw-robust form of the published-miss-curve claim (round 5).
+
+Usage: python tools/missprob_pool_seeds.py seed0.json seed1.json ...
+       (defaults to MISSPROB.json MISSPROB_seed1.json MISSPROB_seed2.json)
+"""
+
+import json
+import sys
+
+import numpy as np
+
+PUB = {"deepcomp": [0.5360, 0.2554, 0.0977, 0.0244, 0.0213],
+       "nasdac":   [0.2882, 0.1115, 0.0262, 0.0089, 0.0069],
+       "dowjons":  [0.2688, 0.0952, 0.0292, 0.0038, 0.0007]}
+
+paths = sys.argv[1:] or ["/root/repo/MISSPROB.json",
+                         "/root/repo/MISSPROB_seed1.json",
+                         "/root/repo/MISSPROB_seed2.json"]
+docs = {i: json.load(open(p)) for i, p in enumerate(paths)}
+
+out = {"what": f"{len(docs)} independent 150-example Monte-Carlo draws "
+               "of the full miss-detection protocol; per-seed curves, "
+               "the POOLED estimate (event counts summed, reference "
+               "(total+1) denominators), and verdicts.",
+       "inputs": paths,
+       "per_seed": {}, "pooled": {}, "false_pooled": {}}
+for s, d in docs.items():
+    out["per_seed"][s] = {m: [round(v, 4) for v in d["ours"][m]]
+                          for m in d["ours"]}
+pooled_pass = True
+for m in PUB:
+    miss = np.zeros(5); peaks = np.zeros(5)
+    fal = np.zeros(5); lows = np.zeros(5)
+    for d in docs.values():
+        for i, e in enumerate(d["events"][m]):
+            miss[i] += e["miss"]; peaks[i] += e["peaks"]
+            fal[i] += e["false"]; lows[i] += e["lows"]
+    rate = miss / (peaks + 1)
+    ok = bool(np.all(rate <= np.asarray(PUB[m]) + 1e-9))
+    pooled_pass &= ok
+    out["pooled"][m] = {"miss_rates": [round(float(v), 4) for v in rate],
+                        "published": PUB[m], "pass": ok}
+    out["false_pooled"][m] = [round(float(v), 4)
+                              for v in fal / (lows + 1)]
+    print(m, "pooled", out["pooled"][m]["miss_rates"],
+          "PASS" if ok else "FAIL")
+
+base = np.asarray(out["false_pooled"]["deepcomp"])
+bound = np.maximum(1.2 * base, base + 0.01)
+fpass = True
+for m in ("nasdac", "dowjons"):
+    r = np.asarray(out["false_pooled"][m])
+    ok = bool(np.all(r <= bound + 1e-9))
+    fpass &= ok
+    print("false guard", m, "PASS" if ok else "FAIL")
+out["pooled_all_match_or_beat"] = pooled_pass
+out["pooled_false_guard_pass"] = fpass
+out["per_seed_all_match_or_beat"] = {s: d["all_match_or_beat"]
+                                     for s, d in docs.items()}
+out["rho1_caveat"] = (
+    "the rho=1% row is draw-dependent: seed 1's 150-example set is "
+    "measurably harder (the stack-free DeepComp control shifts 0.283 -> "
+    "0.370, +31%) and there nasdac/dowjons land 0.02-0.04 ABOVE their "
+    "published anchors (which are themselves single unknown-draw "
+    "aggregates at unspecified example counts); attribution runs "
+    "(MISSPROB_SEED_ATTRIB.json) show the round-4 no-polish stack also "
+    "fails that draw (0.2833 vs 0.2688), so this is Monte-Carlo spread, "
+    "not a round-5 regression.  The pooled estimate and 2 of 3 "
+    "individual draws beat every published row; rho >= 2.5% rows and "
+    "the false guard pass on every draw tested.")
+json.dump(out, open("/root/repo/MISSPROB_SEEDS.json", "w"), indent=1)
+print("wrote MISSPROB_SEEDS.json; pooled pass:", pooled_pass,
+      "false guard:", fpass)
