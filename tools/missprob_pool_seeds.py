@@ -21,7 +21,9 @@ PUB = {"deepcomp": [0.5360, 0.2554, 0.0977, 0.0244, 0.0213],
 
 paths = sys.argv[1:] or ["/root/repo/MISSPROB.json",
                          "/root/repo/MISSPROB_seed1.json",
-                         "/root/repo/MISSPROB_seed2.json"]
+                         "/root/repo/MISSPROB_seed2.json",
+                         "/root/repo/MISSPROB_seed3.json",
+                         "/root/repo/MISSPROB_seed4.json"]
 docs = {i: json.load(open(p)) for i, p in enumerate(paths)}
 
 out = {"what": f"{len(docs)} independent 150-example Monte-Carlo draws "
