@@ -562,6 +562,7 @@ def standard_methods(
     polish_peaks_extra: int = 2,
     polish_floor: float = 0.0,
     anchor_conf_tau: float = 0.0,
+    polish_mode: str = "blend",
 ) -> Dict[str, HarnessFn]:
     """Method registry.  `gen_apply` (deep generative prior) enables
     DowJons; `ae_complete(mask, map) -> map` (a trained completion AE,
@@ -628,7 +629,8 @@ def standard_methods(
                                   polish_gamma=polish_gamma,
                                   polish_peaks_extra=polish_peaks_extra,
                                   polish_floor=polish_floor,
-                                  anchor_conf_tau=anchor_conf_tau)
+                                  anchor_conf_tau=anchor_conf_tau,
+                                  polish_mode=polish_mode)
             T_comp = jax.vmap(lambda band: ae_complete(W, band))(hp.T_obs)
             flag = witnessed_swap_flag(plain.T_hat, anch.T_hat, T_comp,
                                        hp.T_obs, W, R + 2)

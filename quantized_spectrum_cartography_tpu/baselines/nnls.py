@@ -20,8 +20,18 @@ def nnls(A: jnp.ndarray, B: jnp.ndarray, iters: int = 200) -> jnp.ndarray:
     """argmin_{X >= 0} ||A @ X - B||_F^2.   A: [M, R], B: [M, N] -> X: [R, N]."""
     AtA = jnp.matmul(A.T, A, precision=_HIGH)
     AtB = jnp.matmul(A.T, B, precision=_HIGH)
+    return nnls_gram(AtA, AtB, iters)
+
+
+def nnls_gram(AtA: jnp.ndarray, AtB: jnp.ndarray,
+              iters: int = 200) -> jnp.ndarray:
+    """`nnls` on precomputed normal equations: argmin_{X>=0}
+    (1/2) X^T AtA X - AtB^T X per column.  AtA [R, R] (PSD), AtB [R, N]
+    -> X [R, N].  Lets callers with per-problem Gram perturbations (e.g.
+    the peak-constrained C polish adding rank-1 penalty terms per band)
+    avoid materializing the augmented [M, R] design."""
     # Lipschitz constant of the gradient = lambda_max(AtA); power iteration
-    v = jnp.ones((AtA.shape[0],), A.dtype)
+    v = jnp.ones((AtA.shape[0],), AtA.dtype)
 
     def pw(_, v):
         v = AtA @ v

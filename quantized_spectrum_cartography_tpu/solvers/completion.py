@@ -118,6 +118,97 @@ def peak_gated_blend(
     return a_k[None, :] * C_pol + (1.0 - a_k)[None, :] * C_anch
 
 
+def _constrained_polish_c(
+    S: jnp.ndarray,
+    C_anch: jnp.ndarray,
+    T_obs: jnp.ndarray,
+    W: jnp.ndarray,
+    peaks_yx: jnp.ndarray,
+    gamma: float = 0.75,
+    ridge_rel: float = 0.1,
+    beta_rel: float = 10.0,
+    rounds: int = 3,
+    nnls_iters: int = 200,
+) -> jnp.ndarray:
+    """Per-band peak-CONSTRAINED observed-entry polish (round 5+).
+
+    Solves, for every band k,
+
+        min_{c >= 0}  || diag(w_obs) (S_obs^T c - t_k) ||^2
+                      + lam || c - c_anch,k ||^2
+        s.t.          s(p) . c  >=  gamma * v_anch[k, p]   for all
+                                    witnessed peaks p
+
+    by an iterated quadratic penalty in Gram space: each round solves a
+    vmapped per-band NNLS whose normal equations add beta * s_p s_p^T /
+    beta * (gamma v_anch) s_p ONLY for the constraints the previous
+    iterate violates (a pinned active set), so satisfied constraints
+    never drag the fit.  `peak_gated_blend` restricts the polish to the
+    single line segment [C_anch -> C_pol]; this searches the full
+    feasible set, so at equal protection it is weakly better on the
+    observed fit by construction (the blend point is feasible for this
+    program).  Any residual sub-gamma violation from penalty softness is
+    closed exactly by a final `peak_gated_blend` against C_anch in the
+    caller (`gated_polish_c(mode='qp')`).
+
+    MEASURED END-TO-END (GATED_POLISH_DIAG5.json, 50 examples x rho in
+    {1, 2.5}%): despite a decisively better observed-entry residual
+    (3.2x lower on a synthetic check), the full harness lands at values
+    IDENTICAL to the blend at equal gamma — Nasdac rho=1% SRE 0.8428 vs
+    0.8425, miss 0.2511 vs 0.2498, false 0.0551 vs 0.0548; DowJons the
+    same within +-0.015 SRE / 0.003 miss.  Raising gamma under the QP
+    (0.85/0.9) trades along the SAME frontier the blend's gamma sweep
+    mapped (miss 0.2318/0.2228 at SRE 0.95/1.03 and false 0.063/0.073 —
+    the false criterion fails there).  Conclusion: the one-dimensional
+    blend already extracts everything ~26 observed samples can say
+    about the amplitudes; the residual ~2.1x gap to the oracle-C floor
+    (LOWRHO_SRE_FLOOR.json) is information-limited, not
+    optimization-limited.  The mode stays available (and tested) for
+    deployments with denser observations, where the feasible set is
+    larger.
+
+    S [R, I, J]; C_anch [R, K]; T_obs [K, I, J]; W [1, I, J] binary;
+    peaks_yx [P, 2] int.  beta_rel scales the penalty against the
+    observed design's mean diagonal energy (same normalization as
+    `ridge_rel`).  Returns C [R, K].
+    """
+    R = S.shape[0]
+    K = T_obs.shape[0]
+    S_obs = S.reshape(R, -1) * W.reshape(1, -1)            # [R, IJ]
+    G = jnp.matmul(S_obs, S_obs.T)                         # [R, R]
+    scale = jnp.trace(G) / R
+    lam = ridge_rel * scale
+    beta = beta_rel * scale
+    AtB0 = (jnp.matmul(S_obs, (T_obs * W).reshape(K, -1).T)
+            + lam * C_anch)                                # [R, K]
+    AtA0 = G + lam * jnp.eye(R, dtype=S.dtype)
+
+    s_at = S[:, peaks_yx[:, 0], peaks_yx[:, 1]]            # [R, P]
+    v_anch = jnp.einsum("rp,rk->kp", s_at, C_anch)         # [K, P]
+    target = gamma * v_anch                                # [K, P]
+
+    def solve(active):
+        # active [K, P] in {0,1}: per-band penalty masks
+        AtA = (AtA0[None]
+               + beta * jnp.einsum("kp,rp,sp->krs", active, s_at, s_at))
+        AtB = AtB0.T + beta * jnp.einsum("kp,kp,rp->kr", active, target,
+                                         s_at)             # [K, R]
+        from quantized_spectrum_cartography_tpu.baselines.nnls import (
+            nnls_gram)
+        return jax.vmap(
+            lambda M, b: nnls_gram(M, b[:, None], nnls_iters)[:, 0]
+        )(AtA, AtB).T                                      # [R, K]
+
+    def one_round(C, _):
+        v = jnp.einsum("rp,rk->kp", s_at, C)               # [K, P]
+        active = (v < target - 1e-9).astype(S.dtype)
+        return solve(active), None
+
+    C0 = solve(jnp.zeros_like(target))        # unconstrained ridge NNLS
+    C, _ = jax.lax.scan(one_round, C0, None, length=rounds)
+    return C
+
+
 def gated_polish_c(
     S: jnp.ndarray,
     C_anch: jnp.ndarray,
@@ -129,16 +220,29 @@ def gated_polish_c(
     gamma: float = 0.8,
     protect_floor: float = 0.0,
     nnls_iters: int = 200,
+    mode: str = "blend",
 ) -> jnp.ndarray:
-    """Observed-entry C polish gated by completion-witnessed peaks:
-    `_polish_c_to_observed` then `peak_gated_blend` at the greedy NMS
-    peaks of the witness `T_wit` (solvers/nasdac.witness_peaks)."""
+    """Observed-entry C polish gated by completion-witnessed peaks at the
+    greedy NMS peaks of the witness `T_wit` (solvers/nasdac.witness_peaks).
+
+    mode='blend' (default): `_polish_c_to_observed` then
+    `peak_gated_blend` — one scalar per band along the segment
+    [C_anch -> C_pol].  mode='qp': `_constrained_polish_c` — the full
+    per-band inequality-constrained ridge NNLS (weakly better observed
+    fit at equal peak protection); the final blend stays on as the
+    exact feasibility guarantee and is ~identity when the penalty
+    already holds the constraints."""
     from quantized_spectrum_cartography_tpu.solvers.nasdac import (
         witness_peaks)
-    C_pol = _polish_c_to_observed(S, C_anch, T_obs, W,
-                                  ridge_rel=ridge_rel,
-                                  nnls_iters=nnls_iters)
     pts = witness_peaks(T_wit, num_peaks)
+    if mode == "qp":
+        C_pol = _constrained_polish_c(S, C_anch, T_obs, W, pts,
+                                      gamma=gamma, ridge_rel=ridge_rel,
+                                      nnls_iters=nnls_iters)
+    else:
+        C_pol = _polish_c_to_observed(S, C_anch, T_obs, W,
+                                      ridge_rel=ridge_rel,
+                                      nnls_iters=nnls_iters)
     return peak_gated_blend(S, C_anch, C_pol, pts, gamma=gamma,
                             protect_floor=protect_floor)
 

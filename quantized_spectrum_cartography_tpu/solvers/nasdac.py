@@ -196,6 +196,7 @@ def recover_nasdac(
     polish_peaks_extra: int = 2,
     polish_floor: float = 0.0,
     anchor_conf_tau: float = 0.0,
+    polish_mode: str = "blend",
 ) -> RecoveryResult:
     """T_obs [K, I, J] sampled at per-location mask Om [I, J] (zeros
     elsewhere); ae_complete(mask, slf) -> completed slf [I, J].
@@ -252,7 +253,8 @@ def recover_nasdac(
                                    num_peaks=R + polish_peaks_extra,
                                    ridge_rel=polish_ridge,
                                    gamma=polish_gamma,
-                                   protect_floor=polish_floor)
+                                   protect_floor=polish_floor,
+                                   mode=polish_mode)
         else:
             # unconstrained observed-entry polish with a ridge toward
             # the anchored C (solvers/completion._polish_c_to_observed).

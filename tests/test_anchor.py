@@ -253,3 +253,49 @@ def test_distance_to_observed_and_confidence():
     assert float(conf[2, 6]) < 1.0             # decays beyond it
     # monotone in distance
     assert float(conf[2, 6]) > float(conf[2, 9])
+
+
+def test_constrained_polish_dominates_blend():
+    # The blend's output is feasible for the per-band constrained QP, so
+    # at equal peak protection the QP polish must fit the observed
+    # entries at least as well; both must satisfy the gamma guarantee
+    # (the QP via its final exact blend in gated_polish_c mode='qp').
+    from quantized_spectrum_cartography_tpu.solvers.completion import (
+        _constrained_polish_c, _polish_c_to_observed, gated_polish_c,
+        peak_gated_blend)
+    key = jax.random.PRNGKey(3)
+    R, K, I, J = 2, 12, 20, 20
+    kS, kC, kW = jax.random.split(key, 3)
+    S = jax.nn.softplus(jax.random.normal(kS, (R, I, J)))
+    C_true = jax.nn.relu(jax.random.normal(kC, (R, K))) + 0.1
+    T = jnp.einsum("rij,rk->kij", S, C_true)
+    W = (jax.random.uniform(kW, (1, I, J)) < 0.06).astype(jnp.float32)
+    T_obs = T * W
+    C_anch = C_true * 1.5                      # amplitude-imprinted anchor
+    peaks = jnp.array([[4, 6], [15, 11]], jnp.int32)
+    gamma = 0.75
+
+    C_qp = _constrained_polish_c(S, C_anch, T_obs, W, peaks, gamma=gamma,
+                                 ridge_rel=0.1)
+    C_pol = _polish_c_to_observed(S, C_anch, T_obs, W, ridge_rel=0.1)
+    C_bl = peak_gated_blend(S, C_anch, C_pol, peaks, gamma=gamma)
+
+    def obs_resid(C):
+        r = jnp.einsum("rij,rk->kij", S, C) - T_obs
+        return float(jnp.sum(W * r * r))
+
+    assert float(jnp.min(C_qp)) >= 0.0
+    assert obs_resid(C_qp) <= obs_resid(C_bl) + 1e-5
+
+    # end-to-end mode='qp': exact feasibility via the final blend
+    C_out = gated_polish_c(S, C_anch, T_obs, W, T_wit=T, num_peaks=2,
+                           ridge_rel=0.1, gamma=gamma, mode="qp")
+    s_at = S[:, peaks[:, 0], peaks[:, 1]]
+    # gated_polish_c picks its own witness peaks from T; re-derive them
+    from quantized_spectrum_cartography_tpu.solvers.nasdac import (
+        witness_peaks)
+    pts = witness_peaks(T, 2)
+    s_at = S[:, pts[:, 0], pts[:, 1]]
+    v_anch = jnp.einsum("rp,rk->kp", s_at, C_anch)
+    v_out = jnp.einsum("rp,rk->kp", s_at, C_out)
+    assert bool(jnp.all(v_out >= gamma * v_anch - 1e-5))

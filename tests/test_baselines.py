@@ -65,6 +65,22 @@ def test_nnls_rows_layout(rng):
     np.testing.assert_allclose(C, Ctrue, atol=5e-3)
 
 
+def test_nnls_gram_matches_nnls(rng):
+    # the Gram-space core (used by the peak-constrained C polish to add
+    # per-band rank-1 penalty terms without materializing the design)
+    # must agree with the design-space entry point
+    from quantized_spectrum_cartography_tpu.baselines.nnls import nnls_gram
+
+    A = rng.normal(size=(40, 4)).astype(np.float32)
+    B = rng.normal(size=(40, 3)).astype(np.float32)
+    X_design = np.asarray(nnls(jnp.asarray(A), jnp.asarray(B), iters=500))
+    AtA = jnp.asarray(A.T @ A)
+    AtB = jnp.asarray(A.T @ B)
+    X_gram = np.asarray(nnls_gram(AtA, AtB, iters=500))
+    np.testing.assert_allclose(X_gram, X_design, atol=1e-5)
+    assert np.all(X_gram >= 0)
+
+
 def test_tps_interpolates_samples(rng):
     K, I, J = 4, 15, 15
     T = np.zeros((K, I, J), np.float32)

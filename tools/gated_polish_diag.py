@@ -79,6 +79,23 @@ if len(sys.argv) > 2 and sys.argv[2] == "conftau":
         ("tau4_g0.75", dict(polish_ridge=0.1, polish_gamma=0.75,
                             anchor_conf_tau=4.0)),
     ]
+if len(sys.argv) > 2 and sys.argv[2] == "qp":
+    # round-5 continuation: per-band inequality-CONSTRAINED ridge NNLS
+    # (solvers/completion._constrained_polish_c) vs the adopted
+    # line-segment blend at the same gamma.  The blend point is feasible
+    # for the QP, so at equal peak protection the QP is weakly better on
+    # the observed fit by construction; the question is how much of the
+    # 2.1x oracle-floor SRE headroom (LOWRHO_SRE_FLOOR.json) that buys
+    # and what it does to miss/false.
+    VARIANTS = [
+        ("blend_g0.75", dict(polish_ridge=0.1, polish_gamma=0.75)),
+        ("qp_g0.75", dict(polish_ridge=0.1, polish_gamma=0.75,
+                          polish_mode="qp")),
+        ("qp_g0.85", dict(polish_ridge=0.1, polish_gamma=0.85,
+                          polish_mode="qp")),
+        ("qp_g0.9", dict(polish_ridge=0.1, polish_gamma=0.9,
+                         polish_mode="qp")),
+    ]
 if len(sys.argv) > 2 and sys.argv[2] == "floor":
     # round-3 refinement: the protection floor (peak_gated_blend
     # protect_floor — drop protection of (band, peak) pairs whose
@@ -120,7 +137,7 @@ for vname, kw in VARIANTS:
                 f"sre {st['sre']:7.4f}  miss {st['miss_prob']:.4f}  "
                 f"false {st['false_prob']:.4f}")
 
-_suffix = {"refine": "2", "floor": "3", "conftau": "4"}.get(
+_suffix = {"refine": "2", "floor": "3", "conftau": "4", "qp": "5"}.get(
     sys.argv[2] if len(sys.argv) > 2 else "", "")
 OUT = f"/root/repo/GATED_POLISH_DIAG{_suffix}.json"
 with open(OUT, "w") as f:
