@@ -19,7 +19,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from quantized_spectrum_cartography_tpu.baselines.nnls import nnls_rows
+from quantized_spectrum_cartography_tpu.baselines.nnls import (
+    nnls_gram,
+    nnls_rows,
+)
 from quantized_spectrum_cartography_tpu.ops.lowrank import get_tensor
 from quantized_spectrum_cartography_tpu.ops.metrics import nmse
 from quantized_spectrum_cartography_tpu.solvers.base import RecoveryResult
@@ -141,15 +144,20 @@ def _constrained_polish_c(
 
     by an iterated quadratic penalty in Gram space: each round solves a
     vmapped per-band NNLS whose normal equations add beta * s_p s_p^T /
-    beta * (gamma v_anch) s_p ONLY for the constraints the previous
-    iterate violates (a pinned active set), so satisfied constraints
-    never drag the fit.  `peak_gated_blend` restricts the polish to the
-    single line segment [C_anch -> C_pol]; this searches the full
-    feasible set, so at equal protection it is weakly better on the
-    observed fit by construction (the blend point is feasible for this
-    program).  Any residual sub-gamma violation from penalty softness is
-    closed exactly by a final `peak_gated_blend` against C_anch in the
-    caller (`gated_polish_c(mode='qp')`).
+    beta * (gamma v_anch) s_p for the ACCUMULATED active set — every
+    constraint any previous iterate violated stays penalized (the
+    standard iterated-penalty scheme; recomputing the set from scratch
+    each round can oscillate, re-violating a constraint whose penalty
+    was dropped).  Constraints never violated never drag the fit.
+    `peak_gated_blend` restricts the polish to the single line segment
+    [C_anch -> C_pol]; this searches the full feasible set, so at equal
+    protection it is weakly better on the TOTAL objective (observed
+    residual + ridge) by construction — the blend point is feasible for
+    this program.  (Not necessarily on the observed residual alone: the
+    QP may trade a smaller ridge term for slightly more residual.)  Any
+    residual sub-gamma violation from penalty softness is closed
+    exactly by a final `peak_gated_blend` against C_anch in the caller
+    (`gated_polish_c(mode='qp')`).
 
     MEASURED END-TO-END (GATED_POLISH_DIAG5.json, 50 examples x rho in
     {1, 2.5}%): despite a decisively better observed-entry residual
@@ -193,19 +201,20 @@ def _constrained_polish_c(
                + beta * jnp.einsum("kp,rp,sp->krs", active, s_at, s_at))
         AtB = AtB0.T + beta * jnp.einsum("kp,kp,rp->kr", active, target,
                                          s_at)             # [K, R]
-        from quantized_spectrum_cartography_tpu.baselines.nnls import (
-            nnls_gram)
         return jax.vmap(
             lambda M, b: nnls_gram(M, b[:, None], nnls_iters)[:, 0]
         )(AtA, AtB).T                                      # [R, K]
 
-    def one_round(C, _):
+    def one_round(carry, _):
+        C, active = carry
         v = jnp.einsum("rp,rk->kp", s_at, C)               # [K, P]
-        active = (v < target - 1e-9).astype(S.dtype)
-        return solve(active), None
+        active = jnp.maximum(active,
+                             (v < target - 1e-9).astype(S.dtype))
+        return (solve(active), active), None
 
     C0 = solve(jnp.zeros_like(target))        # unconstrained ridge NNLS
-    C, _ = jax.lax.scan(one_round, C0, None, length=rounds)
+    (C, _), _ = jax.lax.scan(one_round, (C0, jnp.zeros_like(target)),
+                             None, length=rounds)
     return C
 
 
@@ -239,10 +248,15 @@ def gated_polish_c(
         C_pol = _constrained_polish_c(S, C_anch, T_obs, W, pts,
                                       gamma=gamma, ridge_rel=ridge_rel,
                                       nnls_iters=nnls_iters)
-    else:
+    elif mode == "blend":
         C_pol = _polish_c_to_observed(S, C_anch, T_obs, W,
                                       ridge_rel=ridge_rel,
                                       nnls_iters=nnls_iters)
+    else:
+        # a typo'd mode silently running the default would poison any
+        # A/B built on this knob
+        raise ValueError(f"unknown polish mode {mode!r} "
+                         "(expected 'blend' or 'qp')")
     return peak_gated_blend(S, C_anch, C_pol, pts, gamma=gamma,
                             protect_floor=protect_floor)
 

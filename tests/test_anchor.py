@@ -257,9 +257,11 @@ def test_distance_to_observed_and_confidence():
 
 def test_constrained_polish_dominates_blend():
     # The blend's output is feasible for the per-band constrained QP, so
-    # at equal peak protection the QP polish must fit the observed
-    # entries at least as well; both must satisfy the gamma guarantee
-    # (the QP via its final exact blend in gated_polish_c mode='qp').
+    # at equal peak protection the QP polish must score at least as well
+    # on the TOTAL objective (observed residual + ridge toward C_anch —
+    # NOT the observed residual alone: the QP may trade a smaller ridge
+    # term for slightly more residual); both must satisfy the gamma
+    # guarantee (the QP via its final exact blend in mode='qp').
     from quantized_spectrum_cartography_tpu.solvers.completion import (
         _constrained_polish_c, _polish_c_to_observed, gated_polish_c,
         peak_gated_blend)
@@ -280,17 +282,21 @@ def test_constrained_polish_dominates_blend():
     C_pol = _polish_c_to_observed(S, C_anch, T_obs, W, ridge_rel=0.1)
     C_bl = peak_gated_blend(S, C_anch, C_pol, peaks, gamma=gamma)
 
-    def obs_resid(C):
+    # same lam as _constrained_polish_c / _polish_c_to_observed
+    S_obs = S.reshape(2, -1) * W.reshape(1, -1)
+    lam = 0.1 * float(jnp.trace(S_obs @ S_obs.T)) / 2
+
+    def total_obj(C):
         r = jnp.einsum("rij,rk->kij", S, C) - T_obs
-        return float(jnp.sum(W * r * r))
+        return (float(jnp.sum(W * r * r))
+                + lam * float(jnp.sum(jnp.square(C - C_anch))))
 
     assert float(jnp.min(C_qp)) >= 0.0
-    assert obs_resid(C_qp) <= obs_resid(C_bl) + 1e-5
+    assert total_obj(C_qp) <= total_obj(C_bl) + 1e-4
 
     # end-to-end mode='qp': exact feasibility via the final blend
     C_out = gated_polish_c(S, C_anch, T_obs, W, T_wit=T, num_peaks=2,
                            ridge_rel=0.1, gamma=gamma, mode="qp")
-    s_at = S[:, peaks[:, 0], peaks[:, 1]]
     # gated_polish_c picks its own witness peaks from T; re-derive them
     from quantized_spectrum_cartography_tpu.solvers.nasdac import (
         witness_peaks)
@@ -299,3 +305,14 @@ def test_constrained_polish_dominates_blend():
     v_anch = jnp.einsum("rp,rk->kp", s_at, C_anch)
     v_out = jnp.einsum("rp,rk->kp", s_at, C_out)
     assert bool(jnp.all(v_out >= gamma * v_anch - 1e-5))
+
+
+def test_gated_polish_c_rejects_unknown_mode():
+    from quantized_spectrum_cartography_tpu.solvers.completion import (
+        gated_polish_c)
+    S = jnp.ones((2, 8, 8))
+    C = jnp.ones((2, 4))
+    T = jnp.ones((4, 8, 8))
+    W = jnp.ones((1, 8, 8))
+    with pytest.raises(ValueError, match="polish mode"):
+        gated_polish_c(S, C, T, W, T_wit=T, num_peaks=2, mode="QP")

@@ -48,6 +48,11 @@ from quantized_spectrum_cartography_tpu.config import PhysicsConfig
 
 NUM_EXAMPLES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 OUT = "/root/repo/CONDITIONS.json"
+# incremental dumps go to a .part file so a mid-run crash (e.g. a TPU
+# tunnel restart) can never leave a truncated artifact in place of the
+# committed one; the finished document is moved onto OUT atomically at
+# the end.
+OUT_PART = OUT + ".part"
 
 # published single-example SRE anchors for the base condition
 # (joint_opt_ae.m:605-645 figure titles)
@@ -89,7 +94,7 @@ def add_spread(stats):
 
 
 def dump():
-    with open(OUT, "w") as f:
+    with open(OUT_PART, "w") as f:
         json.dump({
             "num_examples": NUM_EXAMPLES,
             "axes": {a: list(condition_grid(a)[i].label()
@@ -174,11 +179,12 @@ r_axis_check = {
     "violations": viol,
     "pass": not viol,
 }
-with open(OUT) as f:
+with open(OUT_PART) as f:
     _doc = json.load(f)
 _doc["r_axis_regression_check"] = r_axis_check
-with open(OUT, "w") as f:
+with open(OUT_PART, "w") as f:
     json.dump(_doc, f, indent=1)
+os.replace(OUT_PART, OUT)
 if viol:
     log("R-AXIS REGRESSION CHECK: FAIL", viol)
 else:

@@ -47,6 +47,12 @@ VARIANTS = [
     ("gated_r0.1_g0.6", dict(polish_ridge=0.1, polish_gamma=0.6)),
     ("gated_r0.3_g0.8", dict(polish_ridge=0.3, polish_gamma=0.8)),
 ]
+_KNOWN_MODES = ("refine", "conftau", "qp", "floor")
+if len(sys.argv) > 2 and sys.argv[2] not in _KNOWN_MODES:
+    # a typo'd mode would silently run the round-1 default sweep AND
+    # clobber the committed GATED_POLISH_DIAG.json artifact
+    raise SystemExit(f"unknown sweep mode {sys.argv[2]!r}; "
+                     f"expected one of {_KNOWN_MODES}")
 if len(sys.argv) > 2 and sys.argv[2] == "refine":
     # round-2 refinement around the measured frontier: ridge 0.1 won;
     # gamma 0.8 held miss with margin, 0.6 cut false below the
@@ -84,7 +90,7 @@ if len(sys.argv) > 2 and sys.argv[2] == "qp":
     # (solvers/completion._constrained_polish_c) vs the adopted
     # line-segment blend at the same gamma.  The blend point is feasible
     # for the QP, so at equal peak protection the QP is weakly better on
-    # the observed fit by construction; the question is how much of the
+    # the total (observed + ridge) objective; the question is how much of the
     # 2.1x oracle-floor SRE headroom (LOWRHO_SRE_FLOOR.json) that buys
     # and what it does to miss/false.
     VARIANTS = [
