@@ -47,7 +47,14 @@ from quantized_spectrum_cartography_tpu.baselines import (
 from quantized_spectrum_cartography_tpu.config import PhysicsConfig
 
 NUM_EXAMPLES = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-OUT = "/root/repo/CONDITIONS.json"
+# QSC_COND_SEED / QSC_COND_OUT: a second independent 32-example draw is
+# pooled to 64 examples/condition by tools/conditions_pool.py — the
+# direct 64-example batch reproducibly faults the TPU worker at the
+# f=0.20 condition (kernel fault through the axon tunnel, twice at the
+# identical point), so the grid doubles its sample by pooling draws at
+# the proven-stable batch-32 shapes instead.
+SEED = int(os.environ.get("QSC_COND_SEED", "0"))
+OUT = os.environ.get("QSC_COND_OUT", "/root/repo/CONDITIONS.json")
 # incremental dumps go to a .part file so a mid-run crash (e.g. a TPU
 # tunnel restart) can never leave a truncated artifact in place of the
 # committed one; the finished document is moved onto OUT atomically at
@@ -97,6 +104,7 @@ def dump():
     with open(OUT_PART, "w") as f:
         json.dump({
             "num_examples": NUM_EXAMPLES,
+            "seed": SEED,
             "axes": {a: list(condition_grid(a)[i].label()
                              for i in range(5)) for a in axes},
             "polish_config": POLISH,
@@ -122,10 +130,10 @@ for axis in axes:
         if label in results:        # base condition repeats across axes
             continue
         t_c = time.time()
-        out = harness.run((cond,), num_examples=NUM_EXAMPLES, seed=0)
+        out = harness.run((cond,), num_examples=NUM_EXAMPLES, seed=SEED)
         stats = add_spread(out[label])
         pout = plain_harness.run((cond,), num_examples=NUM_EXAMPLES,
-                                 seed=0)
+                                 seed=SEED)
         stats.update(add_spread(pout[label]))
         # stack-vs-plain delta columns (VERDICT item 5)
         for m in ("nasdac", "dowjons"):
